@@ -1,0 +1,115 @@
+"""Multivariate-Gaussian machinery: KL divergence and sparse conditionals.
+
+Re-implements, natively in JAX, the GPflow 1.5.x layers the reference relies
+on (SURVEY.md §2.3): ``gpflow.kullback_leiblers.gauss_kl`` and
+``gpflow.conditionals.conditional`` (whitened and unwhitened). These are the
+O(M³) / O(M²B) pieces of every SVGP step; they map to chol/triangular-solve +
+MXU matmuls on TPU.
+
+Conventions (match GPflow): ``q_mu`` is [M, C] (C latent GPs), ``q_sqrt`` is
+either [C, M, M] lower-triangular or [M, C] (diagonal). ``white=True`` means
+u = L v with q(v) = N(q_mu, q_sqrt q_sqrtᵀ) and p(v) = N(0, I).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import scipy as jsp
+
+
+def _is_diag(q_sqrt):
+    return q_sqrt.ndim == 2
+
+
+def gauss_kl(q_mu, q_sqrt, K=None, K_chol=None):
+    """KL[q || p] summed over latents.
+
+    p = N(0, I) if K and K_chol are None (whitened), else N(0, K).
+    K may be [M, M] (shared over latents) or [C, M, M].
+    """
+    M, C = q_mu.shape
+    if K is None and K_chol is None:
+        # whitened
+        mahal = jnp.sum(q_mu**2)
+        if _is_diag(q_sqrt):
+            s2 = q_sqrt**2
+            trace = jnp.sum(s2)
+            logdet_q = jnp.sum(jnp.log(s2))
+        else:
+            trace = jnp.sum(q_sqrt**2)
+            diag = jnp.diagonal(q_sqrt, axis1=-2, axis2=-1)
+            logdet_q = 2.0 * jnp.sum(jnp.log(jnp.abs(diag)))
+        return 0.5 * (mahal + trace - M * C - logdet_q)
+
+    L = K_chol if K_chol is not None else jnp.linalg.cholesky(K)
+    if L.ndim == 2:
+        L = jnp.broadcast_to(L, (C,) + L.shape)
+    # mahalanobis: q_muᵀ K⁻¹ q_mu
+    alpha = jsp.linalg.solve_triangular(
+        L, q_mu.T[:, :, None], lower=True
+    )  # [C, M, 1]
+    mahal = jnp.sum(alpha**2)
+    logdet_p = 2.0 * C_logdiag_sum(L)
+    if _is_diag(q_sqrt):
+        s2 = q_sqrt**2  # [M, C]
+        Linv = jsp.linalg.solve_triangular(
+            L, jnp.broadcast_to(jnp.eye(M, dtype=L.dtype), L.shape), lower=True
+        )  # [C, M, M]
+        Kinv_diag = jnp.sum(Linv**2, axis=-2)  # diag of K⁻¹, [C, M]
+        trace = jnp.sum(Kinv_diag * s2.T)
+        logdet_q = jnp.sum(jnp.log(s2))
+    else:
+        LiLq = jsp.linalg.solve_triangular(L, q_sqrt, lower=True)  # [C, M, M]
+        trace = jnp.sum(LiLq**2)
+        diag = jnp.diagonal(q_sqrt, axis1=-2, axis2=-1)
+        logdet_q = 2.0 * jnp.sum(jnp.log(jnp.abs(diag)))
+    return 0.5 * (mahal + trace - M * C + logdet_p - logdet_q)
+
+
+def C_logdiag_sum(L):
+    d = jnp.diagonal(L, axis1=-2, axis2=-1)
+    return jnp.sum(jnp.log(jnp.abs(d)))
+
+
+def conditional(
+    Kmn,
+    Kmm,
+    Knn,
+    q_mu,
+    q_sqrt,
+    white=True,
+    full_cov=False,
+    Kmm_chol=None,
+):
+    """Sparse GP predictive q(f) = ∫ p(f | u) q(u) du.
+
+    Kmn: [M, N]; Kmm: [M, M]; Knn: [N] (full_cov=False) or [N, N];
+    q_mu [M, C]; q_sqrt [C, M, M] lower-tri or [M, C] diagonal.
+
+    Returns (mean [N, C], var [N, C] or [C, N, N]).
+    """
+    L = Kmm_chol if Kmm_chol is not None else jnp.linalg.cholesky(Kmm)
+    Aw = jsp.linalg.solve_triangular(L, Kmn, lower=True)  # L⁻¹Kmn, [M, N]
+    if white:
+        A = Aw
+    else:
+        A = jsp.linalg.solve_triangular(L.T, Aw, lower=False)  # K⁻¹Kmn
+    mean = A.T @ q_mu  # [N, C]
+
+    # posterior-covariance projection: A2ᵀ S A2 with A2 = A (white: L⁻¹Kmn
+    # against q(v); unwhitened: K⁻¹Kmn against q(u)).
+    if _is_diag(q_sqrt):
+        SA = q_sqrt.T[:, :, None] * A[None]  # [C, M, N]
+    else:
+        SA = jnp.einsum("cmk,kn->cmn", jnp.swapaxes(q_sqrt, -1, -2), A)
+
+    if full_cov:
+        red_full = Aw.T @ Aw
+        ext_full = jnp.einsum("cmn,cmk->cnk", SA, SA)
+        var = Knn[None] - red_full[None] + ext_full  # [C, N, N]
+        return mean, var
+
+    reduce_ = jnp.sum(Aw**2, axis=0)  # diag(Knm K⁻¹ Kmn), [N]
+    extra = jnp.sum(SA**2, axis=1)  # [C, N]
+    var = Knn[None, :] - reduce_[None, :] + extra  # [C, N]
+    return mean, var.T  # [N, C]

@@ -20,4 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# The axon sitecustomize force-selects jax_platforms="axon,cpu" at interpreter
+# start (overriding the JAX_PLATFORMS env var), so the CPU pin must go through
+# jax.config after import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache cuts repeat test-suite wall-clock.
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
