@@ -1,0 +1,103 @@
+"""Training loops: alternating natural-gradient + Adam (the reference's
+benchmark protocol — SURVEY.md §2.1 'Benchmarks' row and §3.1), as single
+jitted steps.
+
+The reference (GPflow 1.x) groups a NatGradOptimizer op on (q_mu, q_sqrt)
+with an AdamOptimizer op on the hyperparameters and runs both per
+``sess.run``. Here each training step is one jitted function: natgrad
+update → Adam update on everything except the variational parameters.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gpsig_tpu.training.natgrad import natgrad_step
+
+
+class TrainState(NamedTuple):
+    model: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_step_fn(
+    optimizer: optax.GradientTransformation,
+    num_data: int,
+    gamma: float = 0.1,
+    use_natgrad: bool = True,
+    freeze_variational_in_adam: bool | None = None,
+):
+    """Build a jitted (state, X, Y, key) -> (state, elbo) training step."""
+    if freeze_variational_in_adam is None:
+        freeze_variational_in_adam = use_natgrad
+
+    @jax.jit
+    def step(state: TrainState, X, Y, key):
+        model = state.model
+        if use_natgrad:
+            model = natgrad_step(model, gamma, X, Y, num_data=num_data,
+                                 key=key)
+
+        def loss_fn(m):
+            return -m.elbo(X, Y, num_data=num_data, key=key)
+
+        loss, grads = jax.value_and_grad(loss_fn)(model)
+        if freeze_variational_in_adam:
+            grads = grads.replace(
+                q_mu=jnp.zeros_like(grads.q_mu),
+                q_sqrt=jnp.zeros_like(grads.q_sqrt),
+            )
+        updates, opt_state = optimizer.update(grads, state.opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return TrainState(model, opt_state, state.step + 1), -loss
+
+    return step
+
+
+def init_state(model, optimizer):
+    return TrainState(model, optimizer.init(model), jnp.asarray(0))
+
+
+def fit(
+    model,
+    X,
+    Y,
+    num_iters=500,
+    batch_size=None,
+    learning_rate=1e-3,
+    gamma=0.1,
+    use_natgrad=True,
+    seed=0,
+    callback: Callable | None = None,
+    log_every=100,
+):
+    """Simple full-data / minibatch fitting loop (host-side batching)."""
+    import numpy as np
+
+    N = X.shape[0]
+    num_data = N
+    optimizer = optax.adam(learning_rate)
+    step_fn = make_step_fn(optimizer, num_data, gamma, use_natgrad)
+    state = init_state(model, optimizer)
+    key = jax.random.PRNGKey(seed)
+    rng = np.random.default_rng(seed)
+    history = []
+    for it in range(num_iters):
+        key, sub = jax.random.split(key)
+        if batch_size is None or batch_size >= N:
+            xb, yb = X, Y
+        else:
+            idx = rng.choice(N, batch_size, replace=False)
+            xb, yb = X[idx], Y[idx]
+        state, elbo = step_fn(state, xb, yb, sub)
+        if it % log_every == 0 or it == num_iters - 1:
+            history.append((it, float(elbo)))
+            if callback is not None:
+                callback(it, state.model, float(elbo))
+    return state.model, history

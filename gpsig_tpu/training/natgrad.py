@@ -1,0 +1,91 @@
+"""Natural-gradient optimisation of Gaussian variational parameters.
+
+Re-implements GPflow 1.x's ``NatGradOptimizer`` (+ ``XiSqrtMeanVar``
+transform) — the dependency-owned optimiser the reference's benchmarks
+alternate with Adam (SURVEY.md §2.3 / §3.1): natural-gradient steps on
+(q_mu, q_sqrt) with hyperparameters held fixed, Adam on everything else.
+
+Math. For q(u) = N(μ, S) the natural-gradient ascent step of length γ in
+natural parameters (θ₁, θ₂) = (S⁻¹μ, −½S⁻¹) equals, via the chain rule to
+expectation parameters (η₁, η₂) = (μ, S + μμᵀ):
+
+    ∂L/∂η₁ = g_μ − 2 g_S μ,      ∂L/∂η₂ = g_S,
+
+    θ₂' = θ₂ + γ g_S   ⇒  S'⁻¹ = S⁻¹ − 2γ g_S
+    θ₁' = θ₁ + γ ∂L/∂η₁ ⇒  μ'   = S' (S⁻¹μ + γ(g_μ − 2 g_S μ))
+
+where g_μ = ∂L/∂μ and g_S = ∂L/∂S is the *symmetric* gradient (autodiff
+through chol(S) yields a lower-triangular gradient; symmetrise with
+(G + Gᵀ)/2). The same formulas hold elementwise for diagonal q (the VOSF
+path where they cost O(M)).
+
+Stability: S'⁻¹ must stay positive-definite; the standard practice (and the
+reference benchmarks') is small γ (0.01–0.1) warm-up. We add `jitter` to the
+precision before the solve as a guard.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import scipy as jsp
+
+
+def _elbo_mean_cov(model, mu, cov_or_s2, X, Y, num_data, key, diag):
+    if diag:
+        q_sqrt = jnp.sqrt(cov_or_s2)  # [M, C]
+        m = model.replace(q_mu=mu, q_sqrt=q_sqrt)
+    else:
+        L = jnp.linalg.cholesky(cov_or_s2)  # [C, M, M]
+        m = model.replace(q_mu=mu, q_sqrt=L)
+    return m.elbo(X, Y, num_data=num_data, key=key)
+
+
+def natgrad_step(model, gamma, X, Y, num_data=None, key=None, jitter=1e-8):
+    """One natural-gradient ascent step on (q_mu, q_sqrt); returns the
+    updated model. Hyperparameters are untouched."""
+    diag = model.q_diag
+    mu = model.q_mu  # [M, C]
+    if diag:
+        S = model.q_sqrt**2  # [M, C]
+    else:
+        Lq = jnp.tril(model.q_sqrt)  # [C, M, M]
+        S = jnp.einsum("cij,ckj->cik", Lq, Lq)
+
+    g_mu, g_S = jax.grad(
+        lambda m_, S_: _elbo_mean_cov(model, m_, S_, X, Y, num_data, key, diag),
+        argnums=(0, 1),
+    )(mu, S)
+
+    if diag:
+        prec = 1.0 / S  # [M, C]
+        prec_new = prec - 2.0 * gamma * g_S
+        prec_new = jnp.maximum(prec_new, jitter)
+        S_new = 1.0 / prec_new
+        theta1_new = prec * mu + gamma * (g_mu - 2.0 * g_S * mu)
+        mu_new = S_new * theta1_new
+        return model.replace(q_mu=mu_new, q_sqrt=jnp.sqrt(S_new))
+
+    g_S = 0.5 * (g_S + jnp.swapaxes(g_S, -1, -2))  # symmetrise
+    M = mu.shape[0]
+    eye = jnp.eye(M, dtype=mu.dtype)
+    # S⁻¹ through the cholesky of S
+    Ls = jnp.linalg.cholesky(S)
+    Sinv = jax.vmap(
+        lambda Lc: jsp.linalg.cho_solve((Lc, True), eye)
+    )(Ls)
+    prec_new = Sinv - 2.0 * gamma * g_S + jitter * eye
+    # S' = prec_new⁻¹ via cholesky; also gives chol(S') cheaply:
+    # chol(P⁻¹) = (L_P⁻ᵀ) up to orthogonal factor — compute S' explicitly
+    Lp = jnp.linalg.cholesky(prec_new)
+    S_new = jax.vmap(lambda Lc: jsp.linalg.cho_solve((Lc, True), eye))(Lp)
+    theta1 = jnp.einsum("cij,jc->ic", Sinv, mu)  # S⁻¹μ, [M, C]
+    theta1_new = theta1 + gamma * (
+        g_mu - 2.0 * jnp.einsum("cij,jc->ic", g_S, mu)
+    )
+    mu_new = jnp.einsum("cij,jc->ic", S_new, theta1_new)
+    q_sqrt_new = jnp.linalg.cholesky(
+        0.5 * (S_new + jnp.swapaxes(S_new, -1, -2))
+        + jitter * eye
+    )
+    return model.replace(q_mu=mu_new, q_sqrt=q_sqrt_new)
