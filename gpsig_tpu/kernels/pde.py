@@ -1,0 +1,117 @@
+"""Untruncated signature kernel (SigGPDE path) as a kernel object.
+
+Reference parity: ``gpsig/kernels_pde.py::UntruncSignatureKernel`` backed by
+the fork's CUDA wavefront op (SURVEY.md §2.2/§3.4). Here the solver is the
+wavefront `lax.scan` / Pallas kernel of ``gpsig_tpu.ops.goursat`` with
+adjoint-PDE gradients; ``dyadic_order`` refines the finite-difference grid
+2^o× per step.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gpsig_tpu import params as pr
+from gpsig_tpu.kernels import static_kernels as sk
+from gpsig_tpu.ops import goursat
+from gpsig_tpu.ops.signature import incremental_gram
+
+
+@struct.dataclass
+class UntruncatedSignatureKernel:
+    base: Any
+    raw_sigma: jnp.ndarray
+    raw_lengthscales: jnp.ndarray | None
+    num_features: int = struct.field(pytree_node=False)
+    dyadic_order: int = struct.field(pytree_node=False, default=0)
+    normalization: bool = struct.field(pytree_node=False, default=False)
+    row_block: int = struct.field(pytree_node=False, default=0)
+
+    @classmethod
+    def create(cls, num_features, base=None, lengthscales=1.0, sigma=1.0,
+               dyadic_order=0, normalization=False, row_block=0,
+               dtype=jnp.float64):
+        raw_ell = None
+        if lengthscales is not None:
+            ell = jnp.broadcast_to(jnp.asarray(lengthscales, dtype),
+                                   (num_features,))
+            raw_ell = pr.inv_positive(ell)
+        return cls(
+            base=base if base is not None else sk.LinearBase(),
+            raw_sigma=pr.inv_positive(jnp.asarray(sigma, dtype)),
+            raw_lengthscales=raw_ell,
+            num_features=num_features,
+            dyadic_order=dyadic_order,
+            normalization=normalization,
+            row_block=row_block,
+        )
+
+    @property
+    def sigma(self):
+        return pr.positive(self.raw_sigma)
+
+    @property
+    def lengthscales(self):
+        if self.raw_lengthscales is None:
+            return None
+        return pr.positive(self.raw_lengthscales)
+
+    def _as_sequences(self, X):
+        X = jnp.asarray(X)
+        if X.ndim == 2:
+            N, Ld = X.shape
+            return X.reshape(N, Ld // self.num_features, self.num_features)
+        return X
+
+    def _scaled(self, X):
+        Xs = self._as_sequences(X)
+        ell = self.lengthscales
+        return Xs if ell is None else Xs / ell
+
+    def _solve_pairs(self, X, Y):
+        """k_sig for all pairs: [N1, N2]."""
+        N1, L1, d = X.shape
+        N2, L2, _ = Y.shape
+        G = self.base.gram(X.reshape(N1 * L1, d), Y.reshape(N2 * L2, d))
+        G = G.reshape(N1, L1, N2, L2).transpose(0, 2, 1, 3)
+        inc = incremental_gram(G)
+        return goursat.signature_kernel_pde(inc, self.dyadic_order)
+
+    def _solve_rows_blocked(self, X, Y):
+        if self.row_block <= 0 or X.shape[0] <= self.row_block:
+            return self._solve_pairs(X, Y)
+        B = self.row_block
+        N1 = X.shape[0]
+        pad = (-N1) % B
+        Xp = jnp.concatenate([X, X[:pad]], axis=0) if pad else X
+        blocks = Xp.reshape(-1, B, *X.shape[1:])
+        out = jax.lax.map(lambda xb: self._solve_pairs(xb, Y), blocks)
+        return out.reshape(-1, Y.shape[0])[:N1]
+
+    def _diag_raw(self, X):
+        G = self.base.gram(X, X)  # [N, L, L] batched
+        inc = incremental_gram(G)
+        return goursat.signature_kernel_pde(inc, self.dyadic_order)
+
+    def K(self, X, X2=None):
+        Xs = self._scaled(X)
+        sym = X2 is None
+        Ys = Xs if sym else self._scaled(X2)
+        K = self._solve_rows_blocked(Xs, Ys)
+        if self.normalization:
+            dx = self._diag_raw(Xs)
+            dy = dx if sym else self._diag_raw(Ys)
+            K = K / jnp.sqrt(
+                jnp.maximum(dx[:, None] * dy[None, :], 1e-30)
+            )
+        return self.sigma * K
+
+    def Kdiag(self, X):
+        Xs = self._scaled(X)
+        if self.normalization:
+            return self.sigma * jnp.ones(Xs.shape[0], Xs.dtype)
+        return self.sigma * self._diag_raw(Xs)

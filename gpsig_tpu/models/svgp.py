@@ -65,7 +65,27 @@ class SVGP:
         Kuf = self.inducing.Kuf(self.kernel, X)
         return Kuu, Kuf
 
+    @property
+    def _kuu_identity(self):
+        """VOSF fast path: Kuu = I needs no Cholesky/solves (O(M) KL and
+        elementwise conditional — SURVEY.md §2.2)."""
+        return getattr(self.inducing, "kuu_is_identity", False)
+
+    def _identity_conditional(self, Kuf, Knn):
+        q_sqrt = self._tril_q_sqrt()
+        mean = Kuf.T @ self.q_mu
+        if self.q_diag:
+            extra = (q_sqrt.T[:, :, None] ** 2 * Kuf[None] ** 2).sum(1)
+        else:
+            SA = jnp.einsum("cmk,kn->cmn", jnp.swapaxes(q_sqrt, -1, -2), Kuf)
+            extra = jnp.sum(SA**2, axis=1)
+        var = Knn[None, :] - jnp.sum(Kuf**2, axis=0)[None, :] + extra
+        return mean, var.T
+
     def predict_f(self, X, full_cov=False):
+        if self._kuu_identity and not full_cov:
+            Kuf = self.inducing.Kuf(self.kernel, X)
+            return self._identity_conditional(Kuf, self.kernel.Kdiag(X))
         Kuu, Kuf = self._covariances(X)
         Knn = (
             self.kernel.K(X) if full_cov else self.kernel.Kdiag(X)
@@ -89,23 +109,28 @@ class SVGP:
         num_data: total dataset size N for minibatch scaling (defaults to
         the batch size). key: PRNG key for Monte-Carlo likelihoods.
         """
-        Kuu, Kuf = self._covariances(X)
         Knn = self.kernel.Kdiag(X)
-        L = jnp.linalg.cholesky(Kuu)
-        fmean, fvar = gauss.conditional(
-            Kuf, Kuu, Knn, self.q_mu, self._tril_q_sqrt(),
-            white=self.whiten, Kmm_chol=L,
-        )
+        if self._kuu_identity:
+            Kuf = self.inducing.Kuf(self.kernel, X)
+            fmean, fvar = self._identity_conditional(Kuf, Knn)
+            kl = gauss.gauss_kl(self.q_mu, self._tril_q_sqrt())
+        else:
+            Kuu, Kuf = self._covariances(X)
+            L = jnp.linalg.cholesky(Kuu)
+            fmean, fvar = gauss.conditional(
+                Kuf, Kuu, Knn, self.q_mu, self._tril_q_sqrt(),
+                white=self.whiten, Kmm_chol=L,
+            )
+            if self.whiten:
+                kl = gauss.gauss_kl(self.q_mu, self._tril_q_sqrt())
+            else:
+                kl = gauss.gauss_kl(self.q_mu, self._tril_q_sqrt(), K_chol=L)
         var_exp = self.likelihood.variational_expectations(
             Y, fmean, fvar, key=key
         )
         batch = fmean.shape[0]
         total = batch if num_data is None else num_data
         scale = jnp.asarray(total, fmean.dtype) / batch
-        if self.whiten:
-            kl = gauss.gauss_kl(self.q_mu, self._tril_q_sqrt())
-        else:
-            kl = gauss.gauss_kl(self.q_mu, self._tril_q_sqrt(), K_chol=L)
         return scale * jnp.sum(var_exp) - kl
 
     def predict_y(self, X, **kw):

@@ -1,0 +1,187 @@
+"""Low-rank (Nyström + sketch) and explicit/VOSF feature kernels, PDE kernel
+object."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpsig_tpu.kernels.low_rank import LowRankSignatureRBF
+from gpsig_tpu.kernels.pde import UntruncatedSignatureKernel
+from gpsig_tpu.kernels.signature import SignatureLinear, SignatureRBF
+from gpsig_tpu.kernels.vosf import (
+    ExplicitSignatureKernel,
+    OrthogonalSignatureFeatures,
+)
+from gpsig_tpu.models.svgp import SVGP
+from gpsig_tpu import likelihoods as liks
+from oracles import explicit_signature
+
+
+def _paths(rng, N, L, d, scale=0.4):
+    return (scale * rng.standard_normal((N, L, d))).cumsum(axis=1)
+
+
+def test_truncated_signature_matches_oracle():
+    from gpsig_tpu.ops.explicit import truncated_signature
+
+    rng = np.random.default_rng(0)
+    X = _paths(rng, 3, 6, 2)
+    got = truncated_signature(jnp.asarray(X), 3)
+    for n in range(3):
+        want = explicit_signature(X[n], 3)
+        for m in range(3):
+            np.testing.assert_allclose(
+                np.asarray(got[m][n]), want[m].reshape(-1), rtol=1e-9,
+                atol=1e-12,
+            )
+
+
+@pytest.mark.parametrize("normalization", [False, True])
+def test_low_rank_full_rank_matches_dense(normalization):
+    """With landmarks = all steps, full num_components, and no sketching,
+    the Nyström feature kernel reproduces the dense RBF signature kernel."""
+    rng = np.random.default_rng(1)
+    N, L, d = 5, 5, 2
+    X = _paths(rng, N, L, d)
+    nl = 3
+    dense = SignatureRBF(d, nl, lengthscales=1.0, order=1,
+                         normalization=normalization)
+    n_steps = N * L
+    lr = LowRankSignatureRBF(
+        jax.random.PRNGKey(0), jnp.asarray(X), d, nl,
+        num_components=n_steps, rank_bound=10**9, n_landmarks=n_steps,
+        normalization=normalization,
+    )
+    Kd = np.asarray(dense.K(jnp.asarray(X)))
+    Kl = np.asarray(lr.K(jnp.asarray(X)))
+    np.testing.assert_allclose(Kl, Kd, rtol=1e-6, atol=1e-8)
+
+
+def test_low_rank_sketch_approximates():
+    rng = np.random.default_rng(2)
+    N, L, d = 10, 8, 2
+    X = _paths(rng, N, L, d)
+    nl = 3
+    dense = SignatureRBF(d, nl, lengthscales=1.0, order=1,
+                         normalization=False)
+    Kd = np.asarray(dense.K(jnp.asarray(X)))
+    errs = []
+    for r in [20, 200]:
+        ks = []
+        for s in range(5):
+            lr = LowRankSignatureRBF(
+                jax.random.PRNGKey(s), jnp.asarray(X), d, nl,
+                num_components=40, rank_bound=r, n_landmarks=N * L,
+                normalization=False,
+            )
+            ks.append(np.asarray(lr.K(jnp.asarray(X))))
+        err = np.abs(np.mean(ks, 0) - Kd).max() / np.abs(Kd).max()
+        errs.append(err)
+    assert errs[1] < errs[0]  # more rank → better
+    assert errs[1] < 0.15
+
+
+def test_explicit_kernel_matches_dense_linear():
+    rng = np.random.default_rng(3)
+    N, L, d = 5, 6, 2
+    X = _paths(rng, N, L, d)
+    nl = 3
+    variances = np.array([0.8, 1.2, 0.9, 1.1])
+    dense = SignatureLinear(
+        d, nl, lengthscales=1.4, order=nl, normalization=True,
+        variances=variances, sigma=1.3,
+    )
+    expl = ExplicitSignatureKernel.create(
+        d, nl, lengthscales=1.4, variances=variances, sigma=1.3,
+        normalization=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(expl.K(jnp.asarray(X))),
+        np.asarray(dense.K(jnp.asarray(X))),
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(expl.Kdiag(jnp.asarray(X))),
+        np.asarray(dense.Kdiag(jnp.asarray(X))),
+        rtol=1e-8,
+    )
+
+
+def test_vosf_identity_path_matches_generic_conditional():
+    rng = np.random.default_rng(4)
+    X = jnp.asarray(_paths(rng, 6, 5, 2))
+    Y = jnp.asarray(rng.integers(0, 2, 6))
+    kern = ExplicitSignatureKernel.create(2, 3, lengthscales=1.0)
+    feat = OrthogonalSignatureFeatures.for_kernel(kern)
+    model = SVGP.create(kern, liks.MultiClass(2), feat, num_latent=2,
+                        q_diag=True)
+    key = jax.random.PRNGKey(0)
+    model = model.replace(
+        q_mu=jax.random.normal(key, model.q_mu.shape),
+        q_sqrt=jnp.abs(jax.random.normal(key, model.q_sqrt.shape)) + 0.3,
+    )
+    m1, v1 = model.predict_f(X)
+
+    # generic dense path (identity flag off) must agree
+    from gpsig_tpu import gauss
+
+    Kuu = feat.Kuu(kern)
+    Kuf = feat.Kuf(kern, X)
+    m2, v2 = gauss.conditional(
+        Kuf, Kuu, kern.Kdiag(X), model.q_mu, model.q_sqrt, white=True
+    )
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-9)
+
+    e1 = float(model.elbo(X, Y))
+    assert np.isfinite(e1)
+
+
+def test_vosf_trains_fast_path():
+    from gpsig_tpu.training.loop import fit
+
+    rng = np.random.default_rng(5)
+    N, L, d = 24, 8, 2
+    X0 = _paths(rng, N // 2, L, d, scale=0.3)
+    X1 = _paths(rng, N // 2, L, d, scale=0.3) + np.linspace(0, 2, L).reshape(
+        1, L, 1
+    )
+    X = jnp.asarray(np.concatenate([X0, X1]))
+    Y = jnp.asarray(np.concatenate([np.zeros(N // 2), np.ones(N // 2)])
+                    .astype(np.int32))
+    kern = ExplicitSignatureKernel.create(2, 3, lengthscales=1.0)
+    feat = OrthogonalSignatureFeatures.for_kernel(kern)
+    model = SVGP.create(kern, liks.MultiClass(2), feat, num_latent=2,
+                        q_diag=True)
+    model, _ = fit(model, X, Y, num_iters=80, learning_rate=5e-3, gamma=0.1)
+    p, _ = model.predict_y(X)
+    acc = float((np.asarray(p).argmax(1) == np.asarray(Y)).mean())
+    assert acc >= 0.9
+
+
+def test_pde_kernel_object():
+    rng = np.random.default_rng(6)
+    X = _paths(rng, 4, 6, 2)
+    kern = UntruncatedSignatureKernel.create(2, lengthscales=1.0,
+                                             dyadic_order=1)
+    K = np.asarray(kern.K(jnp.asarray(X)))
+    np.testing.assert_allclose(K, K.T, rtol=1e-10)
+    d = np.asarray(kern.Kdiag(jnp.asarray(X)))
+    np.testing.assert_allclose(d, np.diag(K), rtol=1e-9)
+
+    kern_n = UntruncatedSignatureKernel.create(
+        2, lengthscales=1.0, dyadic_order=1, normalization=True
+    )
+    dn = np.asarray(kern_n.Kdiag(jnp.asarray(X)))
+    np.testing.assert_allclose(dn, float(kern_n.sigma), rtol=1e-9)
+
+    # row-blocked path identical
+    kern_b = kern.replace(row_block=3)
+    Kb = np.asarray(kern_b.K(jnp.asarray(X), jnp.asarray(X)))
+    np.testing.assert_allclose(Kb, K, rtol=1e-10)
+
+    # grads flow through the adjoint
+    g = jax.grad(lambda k: jnp.sum(k.K(jnp.asarray(X))))(kern)
+    assert np.all(np.isfinite(np.asarray(g.raw_lengthscales)))
