@@ -61,6 +61,9 @@ class SignatureKernel:
     normalization: bool = struct.field(pytree_node=False, default=True)
     difference: bool = struct.field(pytree_node=False, default=True)
     num_lags: int = struct.field(pytree_node=False, default=0)
+    #: recursion engine: 'xla' (lax cumsums), 'pallas' (fused VMEM kernel,
+    #: order-1 only), or 'auto' (pallas on TPU backends when order == 1)
+    engine: str = struct.field(pytree_node=False, default="auto")
 
     # -- constrained views ------------------------------------------------
     @property
@@ -148,13 +151,56 @@ class SignatureKernel:
         G = self.base.gram(X, X)  # batched: [N, L, L]
         return sigops.incremental_gram(G) if self.difference else G
 
-    def _K_levels(self, X, Y):
-        M = self._increment_matrix(X, Y)
+    def _use_pallas(self):
+        if self.order != 1:
+            return False
+        if self.engine == "pallas":
+            return True
+        if self.engine == "auto":
+            import jax
+
+            return jax.default_backend() not in ("cpu",)
+        return False
+
+    def _fused_base_kind(self):
+        """rbf flag when the fully-fused Gram kernel applies, else None."""
+        if not (self._use_pallas() and self.difference
+                and self.num_levels <= 7):
+            return None
+        if isinstance(self.base, sk.RBFBase):
+            return True
+        if isinstance(self.base, sk.LinearBase):
+            return False
+        return None
+
+    def _recursion(self, M):
+        """Dispatch the per-level DP to the fused Pallas engine or XLA."""
+        if self._use_pallas():
+            from gpsig_tpu.ops.pallas.sig_gram import sig_gram_levels
+
+            batch = M.shape[:-2]
+            flat = M.reshape((-1,) + M.shape[-2:])
+            out = sig_gram_levels(flat, self.num_levels)
+            return out.reshape((self.num_levels + 1,) + batch)
         return sigops.signature_kern(M, self.num_levels, self.order)
 
+    def _K_levels(self, X, Y):
+        rbf = self._fused_base_kind()
+        if rbf is not None:
+            from gpsig_tpu.ops.pallas.fused_gram import fused_gram_levels
+
+            return fused_gram_levels(X, Y, self.num_levels, rbf)
+        M = self._increment_matrix(X, Y)
+        return self._recursion(M)
+
     def _K_levels_diag(self, X):
+        rbf = self._fused_base_kind()
+        if rbf is not None:
+            from gpsig_tpu.ops.pallas.fused_gram import fused_diag_levels
+
+            return fused_diag_levels(X, self.num_levels, rbf)
         M = self._increment_matrix_diag(X)
-        return sigops.signature_kern(M, self.num_levels, self.order)
+        return self._recursion(M)
 
     def K(self, X, X2=None, return_levels=False):
         """Signature-kernel Gram matrix [N1, N2]."""

@@ -74,6 +74,23 @@ def _skewpad(inc):
     return jnp.where(valid, out, jnp.zeros((), inc.dtype))
 
 
+def skewpad_diag_major(inc):
+    """Diag-major skew: out[..., c, i] = inc[..., i-1, c-(i-1)] (zero
+    elsewhere); shape [..., S+T-1, S+1]. Same alignment as
+    :func:`_skewpad` but with the diagonal axis leading, which is the
+    streaming layout the Pallas wavefront kernel consumes."""
+    S, T = inc.shape[-2], inc.shape[-1]
+    C = S + T - 1
+    c_idx = jnp.arange(C)[:, None]
+    i_idx = jnp.arange(S + 1)[None, :]
+    j_idx = c_idx - (i_idx - 1)
+    valid = (i_idx >= 1) & (j_idx >= 0) & (j_idx < T)
+    rows = jnp.clip(i_idx - 1, 0, S - 1)
+    cols = jnp.clip(j_idx, 0, T - 1)
+    out = inc[..., rows, cols]
+    return jnp.where(valid, out, jnp.zeros((), inc.dtype))
+
+
 def _forward_scan(inc):
     """Wavefront forward solve. Returns skewed u diagonals
     U_sk: [S+T, ..., S+1] holding antidiagonals d = 1..S+T of the solution

@@ -1,0 +1,331 @@
+"""Fully-fused signature-Gram Pallas kernel: base kernel + differencing +
+per-level DP in one pass, nothing O(N²L²) ever touches HBM.
+
+Profiling the XLA path (N=200, L=50) shows the increment-matrix
+construction (base-kernel Gram + [N1,L,N2,L]→[N1,N2,L,L] transpose + double
+difference) costs as much as the recursion itself — both are HBM-bandwidth
+bound on the [N²,L,L] tensor. This kernel removes that tensor entirely:
+
+- grid = (N1, N2/128): one x-sequence against a 128-lane block of
+  y-sequences per step. HBM traffic = X + Yᵀ + [levels, N1, N2] out.
+- inside: a `fori_loop` over columns j of the (virtual) increment matrix.
+  Per column, the base-kernel column K[:, j+1] is computed from the raw
+  sequences (d-loop of FMAs; exp for RBF), double-differenced against the
+  previous column, and fed to the running DP states
+      C_m[i, p] = Σ_{j' < j} A_m[i, j', p]
+  with the exclusive row-cumsum as ONE [Lp, Lp]·[Lp, (nl-1)·128] MXU
+  matmul per column (all levels batched along lanes):
+      A_m[:, j] = Mcol ⊙ (SL · C_{m-1}),   k_m += Σ_i A_m[:, j].
+- lanes are pairs ⇒ no lane padding waste; L pads only to sublane
+  granularity (8).
+
+Total FLOPs ≈ 2·levels·N²·L²·Lp — the information-theoretic cost of the
+recursion — with N²·L·d FMAs for the base kernel.
+
+Backward: custom_vjp recomputes through the (mathematically identical) XLA
+reference path — training still skips the forward's HBM wall; a fused
+reverse-sweep kernel is future work.
+
+The diagonal variant (k_m(x_n, x_n), needed by per-level normalisation and
+Kdiag) uses the same column scan with both sides per-lane.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpsig_tpu.ops import signature as sigops
+
+_LANE = 128
+_LEVROWS = 8  # output rows reserved for level sums (num_levels+1 <= 8)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _sl(Lp, dtype):
+    r = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1)
+    return (c < r).astype(dtype)
+
+
+def _kcol(x, y_ref, jj, d, rbf, nx):
+    """Base-kernel column: k(x_i, y_jj^p) → [Lp, 128].
+
+    x: [Lp, d] (rows >= L are zero); y_ref: [L2, d, 128]; nx: [Lp, 1]."""
+    Lp = x.shape[0]
+    dt = x.dtype
+    G = jnp.zeros((Lp, _LANE), dt)
+    ny = jnp.zeros((1, _LANE), dt)
+    for dd in range(d):
+        yv = y_ref[jj, dd : dd + 1, :]  # [1, 128]
+        G = G + x[:, dd : dd + 1] * yv
+        ny = ny + yv * yv
+    if not rbf:
+        return G
+    return jnp.exp(-0.5 * (nx + ny - 2.0 * G))
+
+
+def _scan_body(jj, carry, *, x, y_ref, d, rbf, nx, L, Lp, num_levels, SL):
+    Kprev, C, acc = carry
+    dt = Kprev.dtype
+    Knext = _kcol(x, y_ref, jj + 1, d, rbf, nx)
+    colD = Knext - Kprev  # [Lp, 128]
+    row = jax.lax.broadcasted_iota(jnp.int32, (Lp, _LANE), 0)
+    shifted = jnp.concatenate([colD[1:], jnp.zeros((1, _LANE), dt)], axis=0)
+    Mcol = jnp.where(row < L - 1, shifted - colD, jnp.asarray(0.0, dt))
+
+    nl = num_levels
+    if nl >= 2:
+        E = jnp.dot(SL, C, preferred_element_type=jnp.float32).astype(dt)
+    levrow = jax.lax.broadcasted_iota(jnp.int32, (_LEVROWS, _LANE), 0)
+    As = [Mcol]
+    for m in range(2, nl + 1):
+        As.append(Mcol * E[:, (m - 2) * _LANE : (m - 1) * _LANE])
+    for m, A in enumerate(As, start=1):
+        acc = acc + jnp.where(
+            levrow == m, jnp.sum(A, axis=0, keepdims=True), 0.0
+        )
+    if nl >= 2:
+        C = C + jnp.concatenate(As[: nl - 1], axis=1)
+    return Knext, C, acc
+
+
+def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf):
+    dt = x_ref.dtype
+    Lp = _round_up(L, 8)
+    x = x_ref[0]  # [L, d]
+    if Lp != L:
+        x = jnp.concatenate([x, jnp.zeros((Lp - L, d), dt)], axis=0)
+    nx = jnp.sum(x * x, axis=1, keepdims=True)  # [Lp, 1]
+    SL = _sl(Lp, dt)
+    K0 = _kcol(x, y_ref, 0, d, rbf, nx)
+    C0 = jnp.zeros((Lp, max(num_levels - 1, 1) * _LANE), dt)
+    acc0 = jnp.zeros((_LEVROWS, _LANE), dt)
+    body = functools.partial(
+        _scan_body, x=x, y_ref=y_ref, d=d, rbf=rbf, nx=nx, L=L, Lp=Lp,
+        num_levels=num_levels, SL=SL,
+    )
+    _, _, acc = jax.lax.fori_loop(
+        0, L - 1, lambda j, c: body(j, c), (K0, C0, acc0)
+    )
+    levrow = jax.lax.broadcasted_iota(jnp.int32, (_LEVROWS, _LANE), 0)
+    acc = acc + jnp.where(levrow == 0, jnp.asarray(1.0, dt), 0.0)
+    out_ref[0] = acc
+
+
+def _diag_kernel(xt_ref, out_ref, *, L, d, num_levels, rbf):
+    """Self-pair variant: both sides per-lane. xt_ref: [L, d, 128]."""
+    dt = xt_ref.dtype
+    Lp = _round_up(L, 8)
+
+    def kcol_diag(jj):
+        G = jnp.zeros((Lp, _LANE), dt)
+        nyj = jnp.zeros((1, _LANE), dt)
+        row = jax.lax.broadcasted_iota(jnp.int32, (Lp, _LANE), 0)
+        for dd in range(d):
+            yv = xt_ref[jj, dd : dd + 1, :]  # [1, 128]
+            xcol = xt_ref[:, dd, :]  # [L, 128]
+            if Lp != L:
+                xcol = jnp.concatenate(
+                    [xcol, jnp.zeros((Lp - L, _LANE), dt)], axis=0
+                )
+            G = G + xcol * yv
+            nyj = nyj + yv * yv
+        if not rbf:
+            return G
+        nx = jnp.zeros((Lp, _LANE), dt)
+        for dd in range(d):
+            xcol = xt_ref[:, dd, :]
+            if Lp != L:
+                xcol = jnp.concatenate(
+                    [xcol, jnp.zeros((Lp - L, _LANE), dt)], axis=0
+                )
+            nx = nx + xcol * xcol
+        return jnp.exp(-0.5 * (nx + nyj - 2.0 * G))
+
+    SL = _sl(Lp, dt)
+    K0 = kcol_diag(0)
+    C0 = jnp.zeros((Lp, max(num_levels - 1, 1) * _LANE), dt)
+    acc0 = jnp.zeros((_LEVROWS, _LANE), dt)
+
+    def body(jj, carry):
+        Kprev, C, acc = carry
+        Knext = kcol_diag(jj + 1)
+        colD = Knext - Kprev
+        row = jax.lax.broadcasted_iota(jnp.int32, (Lp, _LANE), 0)
+        shifted = jnp.concatenate(
+            [colD[1:], jnp.zeros((1, _LANE), dt)], axis=0
+        )
+        Mcol = jnp.where(row < L - 1, shifted - colD, jnp.asarray(0.0, dt))
+        nl = num_levels
+        if nl >= 2:
+            E = jnp.dot(SL, C, preferred_element_type=jnp.float32).astype(dt)
+        levrow = jax.lax.broadcasted_iota(jnp.int32, (_LEVROWS, _LANE), 0)
+        As = [Mcol]
+        for m in range(2, nl + 1):
+            As.append(Mcol * E[:, (m - 2) * _LANE : (m - 1) * _LANE])
+        for m, A in enumerate(As, start=1):
+            acc = acc + jnp.where(
+                levrow == m, jnp.sum(A, axis=0, keepdims=True), 0.0
+            )
+        if nl >= 2:
+            C = C + jnp.concatenate(As[: nl - 1], axis=1)
+        return Knext, C, acc
+
+    _, _, acc = jax.lax.fori_loop(0, L - 1, body, (K0, C0, acc0))
+    levrow = jax.lax.broadcasted_iota(jnp.int32, (_LEVROWS, _LANE), 0)
+    acc = acc + jnp.where(levrow == 0, jnp.asarray(1.0, dt), 0.0)
+    out_ref[0] = acc
+
+
+def _xla_reference(X, Y, num_levels, rbf):
+    """Mathematically identical XLA path (also the VJP route)."""
+    N1, L, d = X.shape
+    N2 = Y.shape[0]
+    a = X.reshape(N1 * L, d)
+    b = Y.reshape(N2 * L, d)
+    if rbf:
+        na = jnp.sum(a * a, -1)
+        nb = jnp.sum(b * b, -1)
+        G = jnp.exp(
+            -0.5
+            * jnp.maximum(
+                na[:, None] + nb[None, :] - 2.0 * (a @ b.T), 0.0
+            )
+        )
+    else:
+        G = a @ b.T
+    G = G.reshape(N1, L, N2, L).transpose(0, 2, 1, 3)
+    M = sigops.incremental_gram(G)
+    return sigops.signature_kern(M, num_levels, order=1)
+
+
+def _xla_reference_diag(X, num_levels, rbf):
+    N, L, d = X.shape
+    if rbf:
+        n = jnp.sum(X * X, -1)
+        G = jnp.exp(
+            -0.5
+            * jnp.maximum(
+                n[:, :, None] + n[:, None, :]
+                - 2.0 * jnp.einsum("nld,nkd->nlk", X, X),
+                0.0,
+            )
+        )
+    else:
+        G = jnp.einsum("nld,nkd->nlk", X, X)
+    M = sigops.incremental_gram(G)
+    return sigops.signature_kern(M, num_levels, order=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_gram_levels(X, Y, num_levels, rbf=True, interpret=False):
+    """[nl+1, N1, N2] per-level signature kernels, fully fused.
+
+    X: [N1, L, d], Y: [N2, L, d] — pre-scaled sequences (order 1,
+    difference=True semantics). num_levels <= 7."""
+    return _fused_fwd_impl(X, Y, num_levels, rbf, interpret)
+
+
+def _fused_fwd_impl(X, Y, num_levels, rbf, interpret):
+    if num_levels + 1 > _LEVROWS:
+        raise ValueError("fused kernel supports num_levels <= 7")
+    N1, L, d = X.shape
+    N2 = Y.shape[0]
+    N2p = _round_up(N2, _LANE)
+    Yt = jnp.moveaxis(Y, 0, -1)  # [L, d, N2]
+    if N2p != N2:
+        Yt = jnp.pad(Yt, ((0, 0), (0, 0), (0, N2p - N2)))
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf
+        ),
+        grid=(N1, N2p // _LANE),
+        in_specs=[
+            pl.BlockSpec((1, L, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, d, _LANE), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _LEVROWS, _LANE), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N1, _LEVROWS, N2p), X.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N1 * N2p * L * L * _round_up(L, 8)
+            * max(num_levels - 1, 1) // _LANE * _LANE,
+            bytes_accessed=4 * (N1 * L * d + L * d * N2p
+                                + N1 * _LEVROWS * N2p),
+            transcendentals=N1 * N2p * L * L if rbf else 0,
+        ),
+    )(X, Yt)
+    return jnp.moveaxis(out[:, : num_levels + 1, :N2], 1, 0)
+
+
+def _fused_vjp_fwd(X, Y, num_levels, rbf, interpret):
+    return _fused_fwd_impl(X, Y, num_levels, rbf, interpret), (X, Y)
+
+
+def _fused_vjp_bwd(num_levels, rbf, interpret, res, g):
+    X, Y = res
+    _, vjp = jax.vjp(
+        lambda x, y: _xla_reference(x, y, num_levels, rbf), X, Y
+    )
+    return vjp(g)
+
+
+fused_gram_levels.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_diag_levels(X, num_levels, rbf=True, interpret=False):
+    """[nl+1, N] per-level self kernels k_m(x_n, x_n), fully fused."""
+    return _fused_diag_impl(X, num_levels, rbf, interpret)
+
+
+def _fused_diag_impl(X, num_levels, rbf, interpret):
+    if num_levels + 1 > _LEVROWS:
+        raise ValueError("fused kernel supports num_levels <= 7")
+    N, L, d = X.shape
+    Np = _round_up(N, _LANE)
+    Xt = jnp.moveaxis(X, 0, -1)
+    if Np != N:
+        Xt = jnp.pad(Xt, ((0, 0), (0, 0), (0, Np - N)))
+    out = pl.pallas_call(
+        functools.partial(
+            _diag_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf
+        ),
+        grid=(Np // _LANE,),
+        in_specs=[
+            pl.BlockSpec((L, d, _LANE), lambda j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _LEVROWS, _LANE), lambda j: (j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np // _LANE, _LEVROWS, _LANE),
+                                       X.dtype),
+        interpret=interpret,
+    )(Xt)
+    out = out.transpose(1, 0, 2).reshape(_LEVROWS, Np)
+    return out[: num_levels + 1, :N]
+
+
+def _diag_vjp_fwd(X, num_levels, rbf, interpret):
+    return _fused_diag_impl(X, num_levels, rbf, interpret), X
+
+
+def _diag_vjp_bwd(num_levels, rbf, interpret, X, g):
+    _, vjp = jax.vjp(
+        lambda x: _xla_reference_diag(x, num_levels, rbf), X
+    )
+    return vjp(g)
+
+
+fused_diag_levels.defvjp(_diag_vjp_fwd, _diag_vjp_bwd)

@@ -13,7 +13,8 @@ where SL/SU are strictly-lower/upper triangular ones matrices — the
 exclusive 2-D cumsum expressed as two [L, L] matmuls so it runs on the MXU
 (this Pallas lowering has no native cumsum primitive; the matmul form is
 faster anyway for L ≲ a few hundred). Only the [num_levels+1] level sums
-leave the chip.
+leave the chip, packed into one 128-lane vector per pair (TPU block shapes
+must tile to (8, 128) or span the full dimension).
 
 Gradients use the adjoint recursion in a second fused kernel (one forward
 recompute + reverse sweep, all in VMEM):
@@ -39,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_LANE = 128
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
@@ -56,9 +59,10 @@ def _fwd_kernel(m_ref, out_ref, *, num_levels):
     dt = M.dtype
     SL = _tri(L1, dt, strictly_lower=True)
     SU = _tri(L2, dt, strictly_lower=False)
-    out_ref[0, 0] = jnp.asarray(1.0, dt)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    out = jnp.where(lane == 0, jnp.asarray(1.0, dt), 0.0)
     A = M
-    out_ref[1, 0] = jnp.sum(A)
+    out = out + jnp.where(lane == 1, jnp.sum(A), 0.0)
     for m in range(2, num_levels + 1):
         E = jnp.dot(
             jnp.dot(SL, A, preferred_element_type=jnp.float32),
@@ -66,17 +70,17 @@ def _fwd_kernel(m_ref, out_ref, *, num_levels):
             preferred_element_type=jnp.float32,
         ).astype(dt)
         A = M * E
-        out_ref[m, 0] = jnp.sum(A)
+        out = out + jnp.where(lane == m, jnp.sum(A), 0.0)
+    out_ref[0] = out
 
 
 def _bwd_kernel(m_ref, w_ref, gm_ref, *, num_levels):
     M = m_ref[0]  # [L1, L2]
-    L1, L2 = M.shape
     dt = M.dtype
+    L1, L2 = M.shape
     SL = _tri(L1, dt, strictly_lower=True)
     SU = _tri(L2, dt, strictly_lower=False)
-    SLT = SL.T
-    SUT = SU.T
+    w = w_ref[0]  # [1, 128]; w[0, m] = cotangent of level m
 
     # forward recompute, storing E_m = E(A_{m-1}) for m = 2..nl
     Es = []
@@ -91,24 +95,23 @@ def _bwd_kernel(m_ref, w_ref, gm_ref, *, num_levels):
         A = M * E
 
     gM = jnp.zeros_like(M)
-    gA = jnp.full((L1, L2), w_ref[num_levels, 0], dt)
+    gA = jnp.broadcast_to(w[0, num_levels], (L1, L2))
     for m in range(num_levels, 1, -1):
         E = Es[m - 2]
         gM = gM + E * gA
         inner = M * gA
-        gA_prev = jnp.dot(
-            jnp.dot(SLT, inner, preferred_element_type=jnp.float32),
-            SUT,
+        gA = jnp.dot(
+            jnp.dot(SL.T, inner, preferred_element_type=jnp.float32),
+            SU.T,
             preferred_element_type=jnp.float32,
-        ).astype(dt)
-        gA = gA_prev + w_ref[m - 1, 0]
+        ).astype(dt) + w[0, m - 1]
     gM = gM + gA  # A_1 = M
     gm_ref[0] = gM
 
 
 def _pad_m(M):
     B, L1, L2 = M.shape
-    P1, P2 = _round_up(L1, 8), _round_up(L2, 128)
+    P1, P2 = _round_up(L1, 8), _round_up(L2, _LANE)
     if (P1, P2) != (L1, L2):
         M = jnp.pad(M, ((0, 0), (0, P1 - L1), (0, P2 - L2)))
     return M
@@ -123,6 +126,8 @@ def sig_gram_levels(M, num_levels, interpret=False):
 
 
 def _sig_gram_fwd_impl(M, num_levels, interpret):
+    if num_levels + 1 > _LANE:
+        raise ValueError("num_levels must be < 128")
     B = M.shape[0]
     Mp = _pad_m(M)
     _, L1, L2 = Mp.shape
@@ -133,17 +138,18 @@ def _sig_gram_fwd_impl(M, num_levels, interpret):
             pl.BlockSpec((1, L1, L2), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((num_levels + 1, 1), lambda b: (0, b),
+        out_specs=pl.BlockSpec((1, 1, _LANE), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_levels + 1, B), M.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, 1, _LANE), M.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * (num_levels - 1) * (L1 * L1 * L2 + L1 * L2 * L2),
+            flops=2 * B * max(num_levels - 1, 0)
+            * (L1 * L1 * L2 + L1 * L2 * L2),
             bytes_accessed=4 * B * L1 * L2,
             transcendentals=0,
         ),
     )(Mp)
-    return out
+    return out[:, 0, : num_levels + 1].T  # [nl+1, B]
 
 
 def _vjp_fwd(M, num_levels, interpret):
@@ -154,20 +160,22 @@ def _vjp_bwd(num_levels, interpret, M, w):
     B, L1o, L2o = M.shape
     Mp = _pad_m(M)
     _, L1, L2 = Mp.shape
+    wp = jnp.zeros((B, 1, _LANE), M.dtype)
+    wp = wp.at[:, 0, : num_levels + 1].set(w.T.astype(M.dtype))
     gM = pl.pallas_call(
         functools.partial(_bwd_kernel, num_levels=num_levels),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, L1, L2), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_levels + 1, 1), lambda b: (0, b),
+            pl.BlockSpec((1, 1, _LANE), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, L1, L2), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, L1, L2), M.dtype),
         interpret=interpret,
-    )(Mp, w.astype(M.dtype))
+    )(Mp, wp)
     return (gM[:, :L1o, :L2o],)
 
 

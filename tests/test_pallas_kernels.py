@@ -41,6 +41,88 @@ def test_sig_gram_levels_grad_matches_jnp():
     )
 
 
+@pytest.mark.parametrize("rbf", [True, False])
+@pytest.mark.parametrize("nl", [1, 3, 5])
+def test_fused_gram_matches_xla(rbf, nl):
+    from gpsig_tpu.ops.pallas import fused_gram as fg
+
+    rng = np.random.default_rng(5)
+    X = jnp.asarray(
+        (0.3 * rng.standard_normal((3, 7, 2))).cumsum(1), jnp.float32
+    )
+    Y = jnp.asarray(
+        (0.3 * rng.standard_normal((5, 7, 2))).cumsum(1), jnp.float32
+    )
+    got = fg.fused_gram_levels(X, Y, nl, rbf, True)
+    want = fg._xla_reference(X, Y, nl, rbf)
+    assert got.shape == (nl + 1, 3, 5)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_fused_gram_grad_via_xla_fallback():
+    from gpsig_tpu.ops.pallas import fused_gram as fg
+
+    rng = np.random.default_rng(6)
+    X = jnp.asarray(
+        (0.3 * rng.standard_normal((2, 6, 2))).cumsum(1), jnp.float32
+    )
+    Y = jnp.asarray(
+        (0.3 * rng.standard_normal((3, 6, 2))).cumsum(1), jnp.float32
+    )
+    g1 = jax.grad(
+        lambda x: jnp.sum(fg.fused_gram_levels(x, Y, 3, True, True))
+    )(X)
+    g2 = jax.grad(
+        lambda x: jnp.sum(fg._xla_reference(x, Y, 3, True))
+    )(X)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("rbf", [True, False])
+def test_fused_diag_matches_xla(rbf):
+    from gpsig_tpu.ops.pallas import fused_gram as fg
+
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(
+        (0.3 * rng.standard_normal((5, 8, 3))).cumsum(1), jnp.float32
+    )
+    got = fg.fused_diag_levels(X, 4, rbf, True)
+    want = fg._xla_reference_diag(X, 4, rbf)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("shape", [(3, 6, 6), (2, 5, 9), (9, 7, 4)])
+def test_goursat_pallas_matches_scan(shape):
+    from gpsig_tpu.ops import goursat
+    from gpsig_tpu.ops.pallas.goursat_pallas import goursat_corner_pallas
+
+    rng = np.random.default_rng(3)
+    inc = jnp.asarray(0.4 * rng.standard_normal(shape), jnp.float32)
+    S, T = shape[-2], shape[-1]
+    skew = goursat.skewpad_diag_major(inc)
+    got = goursat_corner_pallas(skew, S, T, block_pairs=4, interpret=True)
+    want = goursat.goursat_corner(inc)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5
+    )
+
+
+def test_skewpad_diag_major_matches_transpose():
+    from gpsig_tpu.ops import goursat
+
+    rng = np.random.default_rng(4)
+    inc = jnp.asarray(rng.standard_normal((2, 5, 7)))
+    a = goursat.skewpad_diag_major(inc)
+    b = jnp.swapaxes(goursat._skewpad(inc), -1, -2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_sig_gram_levels_padding_invariance():
     """Zero-padding of M must not change the level sums (alignment trick)."""
     rng = np.random.default_rng(2)
