@@ -25,7 +25,9 @@ from gpsig_tpu import params as pr
 
 
 def _dot(A, B):
-    return jnp.matmul(A, jnp.swapaxes(B, -1, -2))
+    # d (the contraction dim) is small, so full-f32 MXU passes cost ~nothing
+    # here while the downstream DP compounds any base-Gram rounding.
+    return jnp.matmul(A, jnp.swapaxes(B, -1, -2), precision="highest")
 
 
 def _sqdist(A, B):

@@ -55,69 +55,88 @@ def _sl(Lp, dtype):
     return (c < r).astype(dtype)
 
 
-def _kcol(x, y_ref, jj, d, rbf, nx):
-    """Base-kernel column: k(x_i, y_jj^p) → [Lp, 128].
+def _kcol_wide(xcols, nx, y_ref, jj, d, rbf, bx):
+    """Base-kernel column for bx x-sequences × 128 y's → [Lp, bx·128].
 
-    x: [Lp, d] (rows >= L are zero); y_ref: [L2, d, 128]; nx: [Lp, 1]."""
-    Lp = x.shape[0]
-    dt = x.dtype
-    G = jnp.zeros((Lp, _LANE), dt)
-    ny = jnp.zeros((1, _LANE), dt)
+    xcols: list over d of [Lp, bx·128] lane-group-expanded x channels
+    (lane b·128+p holds x[b, i, dd]); nx: [Lp, bx·128]; y_ref [L2, d, 128].
+    """
+    Lp = nx.shape[0]
+    W = bx * _LANE
+    dt = nx.dtype
+    G = jnp.zeros((Lp, W), dt)
+    ny = jnp.zeros((1, W), dt)
     for dd in range(d):
         yv = y_ref[jj, dd : dd + 1, :]  # [1, 128]
-        G = G + x[:, dd : dd + 1] * yv
-        ny = ny + yv * yv
+        yw = jnp.concatenate([yv] * bx, axis=1)  # [1, bx·128]
+        G = G + xcols[dd] * yw
+        ny = ny + yw * yw
     if not rbf:
         return G
     return jnp.exp(-0.5 * (nx + ny - 2.0 * G))
 
 
-def _scan_body(jj, carry, *, x, y_ref, d, rbf, nx, L, Lp, num_levels, SL):
-    Kprev, C, acc = carry
-    dt = Kprev.dtype
-    Knext = _kcol(x, y_ref, jj + 1, d, rbf, nx)
-    colD = Knext - Kprev  # [Lp, 128]
-    row = jax.lax.broadcasted_iota(jnp.int32, (Lp, _LANE), 0)
-    shifted = jnp.concatenate([colD[1:], jnp.zeros((1, _LANE), dt)], axis=0)
-    Mcol = jnp.where(row < L - 1, shifted - colD, jnp.asarray(0.0, dt))
-
-    nl = num_levels
-    if nl >= 2:
-        E = jnp.dot(SL, C, preferred_element_type=jnp.float32).astype(dt)
-    levrow = jax.lax.broadcasted_iota(jnp.int32, (_LEVROWS, _LANE), 0)
-    As = [Mcol]
-    for m in range(2, nl + 1):
-        As.append(Mcol * E[:, (m - 2) * _LANE : (m - 1) * _LANE])
-    for m, A in enumerate(As, start=1):
-        acc = acc + jnp.where(
-            levrow == m, jnp.sum(A, axis=0, keepdims=True), 0.0
-        )
-    if nl >= 2:
-        C = C + jnp.concatenate(As[: nl - 1], axis=1)
-    return Knext, C, acc
-
-
-def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf):
+def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx):
+    """x_ref: [L, d, bx] (transposed X block); y_ref: [L, d, 128];
+    out_ref: [bx, _LEVROWS, 128]."""
     dt = x_ref.dtype
     Lp = _round_up(L, 8)
-    x = x_ref[0]  # [L, d]
-    if Lp != L:
-        x = jnp.concatenate([x, jnp.zeros((Lp - L, d), dt)], axis=0)
-    nx = jnp.sum(x * x, axis=1, keepdims=True)  # [Lp, 1]
+    W = bx * _LANE
+    nl = num_levels
+
+    # lane-group expansion of x channels: [L, bx] -> [Lp, bx·128] with
+    # lane b·128+p holding x[i, b]. Built as a matmul with a 0/1 expansion
+    # matrix (pltpu.repeat tiles rather than element-repeats; the matmul is
+    # exact since every product is x·1 or x·0).
+    er = jax.lax.broadcasted_iota(jnp.int32, (bx, W), 0)
+    ec = jax.lax.broadcasted_iota(jnp.int32, (bx, W), 1)
+    Eb = (ec // _LANE == er).astype(dt)
+    xcols = []
+    nx = jnp.zeros((Lp, W), dt)
+    for dd in range(d):
+        xs = x_ref[:, dd, :]  # [L, bx]
+        if Lp != L:
+            xs = jnp.concatenate(
+                [xs, jnp.zeros((Lp - L, bx), dt)], axis=0
+            )
+        xw = jnp.dot(xs, Eb, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST).astype(dt)
+        xcols.append(xw)
+        nx = nx + xw * xw
+
     SL = _sl(Lp, dt)
-    K0 = _kcol(x, y_ref, 0, d, rbf, nx)
-    C0 = jnp.zeros((Lp, max(num_levels - 1, 1) * _LANE), dt)
-    acc0 = jnp.zeros((_LEVROWS, _LANE), dt)
-    body = functools.partial(
-        _scan_body, x=x, y_ref=y_ref, d=d, rbf=rbf, nx=nx, L=L, Lp=Lp,
-        num_levels=num_levels, SL=SL,
-    )
-    _, _, acc = jax.lax.fori_loop(
-        0, L - 1, lambda j, c: body(j, c), (K0, C0, acc0)
-    )
-    levrow = jax.lax.broadcasted_iota(jnp.int32, (_LEVROWS, _LANE), 0)
+    K0 = _kcol_wide(xcols, nx, y_ref, 0, d, rbf, bx)
+    C0 = jnp.zeros((Lp, max(nl - 1, 1) * W), dt)
+    acc0 = jnp.zeros((_LEVROWS, W), dt)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Lp, W), 0)
+    levrow = jax.lax.broadcasted_iota(jnp.int32, (_LEVROWS, W), 0)
+
+    def body(jj, carry):
+        Kprev, C, acc = carry
+        Knext = _kcol_wide(xcols, nx, y_ref, jj + 1, d, rbf, bx)
+        colD = Knext - Kprev  # [Lp, W]
+        shifted = jnp.concatenate(
+            [colD[1:], jnp.zeros((1, W), dt)], axis=0
+        )
+        Mcol = jnp.where(row < L - 1, shifted - colD, jnp.asarray(0.0, dt))
+        if nl >= 2:
+            E = jnp.dot(SL, C, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST).astype(dt)
+        As = [Mcol]
+        for m in range(2, nl + 1):
+            As.append(Mcol * E[:, (m - 2) * W : (m - 1) * W])
+        for m, A in enumerate(As, start=1):
+            acc = acc + jnp.where(
+                levrow == m, jnp.sum(A, axis=0, keepdims=True), 0.0
+            )
+        if nl >= 2:
+            C = C + jnp.concatenate(As[: nl - 1], axis=1)
+        return Knext, C, acc
+
+    _, _, acc = jax.lax.fori_loop(0, L - 1, body, (K0, C0, acc0))
     acc = acc + jnp.where(levrow == 0, jnp.asarray(1.0, dt), 0.0)
-    out_ref[0] = acc
+    for b in range(bx):
+        out_ref[b] = acc[:, b * _LANE : (b + 1) * _LANE]
 
 
 def _diag_kernel(xt_ref, out_ref, *, L, d, num_levels, rbf):
@@ -166,7 +185,8 @@ def _diag_kernel(xt_ref, out_ref, *, L, d, num_levels, rbf):
         Mcol = jnp.where(row < L - 1, shifted - colD, jnp.asarray(0.0, dt))
         nl = num_levels
         if nl >= 2:
-            E = jnp.dot(SL, C, preferred_element_type=jnp.float32).astype(dt)
+            E = jnp.dot(SL, C, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST).astype(dt)
         levrow = jax.lax.broadcasted_iota(jnp.int32, (_LEVROWS, _LANE), 0)
         As = [Mcol]
         for m in range(2, nl + 1):
@@ -197,11 +217,11 @@ def _xla_reference(X, Y, num_levels, rbf):
         G = jnp.exp(
             -0.5
             * jnp.maximum(
-                na[:, None] + nb[None, :] - 2.0 * (a @ b.T), 0.0
+                na[:, None] + nb[None, :] - 2.0 * jnp.matmul(a, b.T, precision='highest'), 0.0
             )
         )
     else:
-        G = a @ b.T
+        G = jnp.matmul(a, b.T, precision='highest')
     G = G.reshape(N1, L, N2, L).transpose(0, 2, 1, 3)
     M = sigops.incremental_gram(G)
     return sigops.signature_kern(M, num_levels, order=1)
@@ -215,65 +235,72 @@ def _xla_reference_diag(X, num_levels, rbf):
             -0.5
             * jnp.maximum(
                 n[:, :, None] + n[:, None, :]
-                - 2.0 * jnp.einsum("nld,nkd->nlk", X, X),
+                - 2.0 * jnp.einsum("nld,nkd->nlk", X, X,
+                                   precision="highest"),
                 0.0,
             )
         )
     else:
-        G = jnp.einsum("nld,nkd->nlk", X, X)
+        G = jnp.einsum("nld,nkd->nlk", X, X, precision="highest")
     M = sigops.incremental_gram(G)
     return sigops.signature_kern(M, num_levels, order=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def fused_gram_levels(X, Y, num_levels, rbf=True, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_gram_levels(X, Y, num_levels, rbf=True, interpret=False, bx=8):
     """[nl+1, N1, N2] per-level signature kernels, fully fused.
 
     X: [N1, L, d], Y: [N2, L, d] — pre-scaled sequences (order 1,
-    difference=True semantics). num_levels <= 7."""
-    return _fused_fwd_impl(X, Y, num_levels, rbf, interpret)
+    difference=True semantics). num_levels <= 7. ``bx`` = x-sequences per
+    grid step (wider MXU matmuls; VMEM budget ~ bx·(nl-1)·128·L·4B)."""
+    return _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx)
 
 
-def _fused_fwd_impl(X, Y, num_levels, rbf, interpret):
+def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8):
     if num_levels + 1 > _LEVROWS:
         raise ValueError("fused kernel supports num_levels <= 7")
     N1, L, d = X.shape
     N2 = Y.shape[0]
+    N1p = _round_up(N1, bx)
     N2p = _round_up(N2, _LANE)
+    Xt = jnp.moveaxis(X, 0, -1)  # [L, d, N1]
+    if N1p != N1:
+        Xt = jnp.pad(Xt, ((0, 0), (0, 0), (0, N1p - N1)))
     Yt = jnp.moveaxis(Y, 0, -1)  # [L, d, N2]
     if N2p != N2:
         Yt = jnp.pad(Yt, ((0, 0), (0, 0), (0, N2p - N2)))
     out = pl.pallas_call(
         functools.partial(
-            _fused_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf
+            _fused_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf, bx=bx
         ),
-        grid=(N1, N2p // _LANE),
+        grid=(N1p // bx, N2p // _LANE),
         in_specs=[
-            pl.BlockSpec((1, L, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((L, d, bx), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, d, _LANE), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _LEVROWS, _LANE), lambda i, j: (i, 0, j),
+        out_specs=pl.BlockSpec((bx, _LEVROWS, _LANE),
+                               lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N1, _LEVROWS, N2p), X.dtype),
+        out_shape=jax.ShapeDtypeStruct((N1p, _LEVROWS, N2p), X.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * N1 * N2p * L * L * _round_up(L, 8)
-            * max(num_levels - 1, 1) // _LANE * _LANE,
-            bytes_accessed=4 * (N1 * L * d + L * d * N2p
-                                + N1 * _LEVROWS * N2p),
-            transcendentals=N1 * N2p * L * L if rbf else 0,
+            flops=2 * N1p * N2p * L * _round_up(L, 8) ** 2
+            * max(num_levels - 1, 1),
+            bytes_accessed=4 * (N1p * L * d + L * d * N2p
+                                + N1p * _LEVROWS * N2p),
+            transcendentals=N1p * N2p * L * L if rbf else 0,
         ),
-    )(X, Yt)
-    return jnp.moveaxis(out[:, : num_levels + 1, :N2], 1, 0)
+    )(Xt, Yt)
+    return jnp.moveaxis(out[:N1, : num_levels + 1, :N2], 1, 0)
 
 
-def _fused_vjp_fwd(X, Y, num_levels, rbf, interpret):
-    return _fused_fwd_impl(X, Y, num_levels, rbf, interpret), (X, Y)
+def _fused_vjp_fwd(X, Y, num_levels, rbf, interpret, bx):
+    return _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx), (X, Y)
 
 
-def _fused_vjp_bwd(num_levels, rbf, interpret, res, g):
+def _fused_vjp_bwd(num_levels, rbf, interpret, bx, res, g):
     X, Y = res
     _, vjp = jax.vjp(
         lambda x, y: _xla_reference(x, y, num_levels, rbf), X, Y

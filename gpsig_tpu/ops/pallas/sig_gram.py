@@ -65,9 +65,11 @@ def _fwd_kernel(m_ref, out_ref, *, num_levels):
     out = out + jnp.where(lane == 1, jnp.sum(A), 0.0)
     for m in range(2, num_levels + 1):
         E = jnp.dot(
-            jnp.dot(SL, A, preferred_element_type=jnp.float32),
+            jnp.dot(SL, A, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST),
             SU,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(dt)
         A = M * E
         out = out + jnp.where(lane == m, jnp.sum(A), 0.0)
@@ -87,9 +89,11 @@ def _bwd_kernel(m_ref, w_ref, gm_ref, *, num_levels):
     A = M
     for m in range(2, num_levels + 1):
         E = jnp.dot(
-            jnp.dot(SL, A, preferred_element_type=jnp.float32),
+            jnp.dot(SL, A, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST),
             SU,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(dt)
         Es.append(E)
         A = M * E
@@ -101,9 +105,11 @@ def _bwd_kernel(m_ref, w_ref, gm_ref, *, num_levels):
         gM = gM + E * gA
         inner = M * gA
         gA = jnp.dot(
-            jnp.dot(SL.T, inner, preferred_element_type=jnp.float32),
+            jnp.dot(SL.T, inner, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST),
             SU.T,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(dt) + w[0, m - 1]
     gM = gM + gA  # A_1 = M
     gm_ref[0] = gM
