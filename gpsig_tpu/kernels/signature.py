@@ -339,6 +339,7 @@ def _make(
     variances=None,
     lengthscales=None,
     dtype=jnp.float64,
+    engine="auto",
 ):
     nl1 = num_levels + 1
     if variances is None:
@@ -370,6 +371,7 @@ def _make(
         normalization=normalization,
         difference=difference,
         num_lags=num_lags,
+        engine=engine,
     )
 
 

@@ -76,11 +76,23 @@ def _kcol_wide(xcols, nx, y_ref, jj, d, rbf, bx):
     return jnp.exp(-0.5 * (nx + ny - 2.0 * G))
 
 
+def _dmat(Lp, L, dtype):
+    """Bidiagonal difference operator: (D·v)[i] = v[i+1] − v[i] for
+    i < L−1, zero otherwise (Mosaic has no sublane shift/concat here, and a
+    0/±1 matmul is exact)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1)
+    up = (c == r + 1).astype(dtype)
+    diag = (c == r).astype(dtype)
+    mask = (r < L - 1).astype(dtype)
+    return (up - diag) * mask
+
+
 def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx):
-    """x_ref: [L, d, bx] (transposed X block); y_ref: [L, d, 128];
-    out_ref: [bx, _LEVROWS, 128]."""
+    """x_ref: [1, Lp, d·bx] (packed X block, rows pre-padded to Lp);
+    y_ref: [L, d, 128]; out_ref: [bx, _LEVROWS, 128]."""
     dt = x_ref.dtype
-    Lp = _round_up(L, 8)
+    Lp = x_ref.shape[1]
     W = bx * _LANE
     nl = num_levels
 
@@ -94,31 +106,25 @@ def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx):
     xcols = []
     nx = jnp.zeros((Lp, W), dt)
     for dd in range(d):
-        xs = x_ref[:, dd, :]  # [L, bx]
-        if Lp != L:
-            xs = jnp.concatenate(
-                [xs, jnp.zeros((Lp - L, bx), dt)], axis=0
-            )
+        xs = x_ref[0, :, dd * bx : (dd + 1) * bx]  # [Lp, bx]
         xw = jnp.dot(xs, Eb, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST).astype(dt)
         xcols.append(xw)
         nx = nx + xw * xw
 
     SL = _sl(Lp, dt)
+    Dm = _dmat(Lp, L, dt)
     K0 = _kcol_wide(xcols, nx, y_ref, 0, d, rbf, bx)
     C0 = jnp.zeros((Lp, max(nl - 1, 1) * W), dt)
     acc0 = jnp.zeros((_LEVROWS, W), dt)
-    row = jax.lax.broadcasted_iota(jnp.int32, (Lp, W), 0)
     levrow = jax.lax.broadcasted_iota(jnp.int32, (_LEVROWS, W), 0)
 
     def body(jj, carry):
         Kprev, C, acc = carry
         Knext = _kcol_wide(xcols, nx, y_ref, jj + 1, d, rbf, bx)
         colD = Knext - Kprev  # [Lp, W]
-        shifted = jnp.concatenate(
-            [colD[1:], jnp.zeros((1, W), dt)], axis=0
-        )
-        Mcol = jnp.where(row < L - 1, shifted - colD, jnp.asarray(0.0, dt))
+        Mcol = jnp.dot(Dm, colD, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST).astype(dt)
         if nl >= 2:
             E = jnp.dot(SL, C, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST).astype(dt)
@@ -140,36 +146,27 @@ def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx):
 
 
 def _diag_kernel(xt_ref, out_ref, *, L, d, num_levels, rbf):
-    """Self-pair variant: both sides per-lane. xt_ref: [L, d, 128]."""
+    """Self-pair variant: both sides per-lane. xt_ref: [Lp, d, 128]
+    (rows pre-padded to Lp)."""
     dt = xt_ref.dtype
-    Lp = _round_up(L, 8)
+    Lp = xt_ref.shape[0]
 
     def kcol_diag(jj):
         G = jnp.zeros((Lp, _LANE), dt)
         nyj = jnp.zeros((1, _LANE), dt)
-        row = jax.lax.broadcasted_iota(jnp.int32, (Lp, _LANE), 0)
-        for dd in range(d):
-            yv = xt_ref[jj, dd : dd + 1, :]  # [1, 128]
-            xcol = xt_ref[:, dd, :]  # [L, 128]
-            if Lp != L:
-                xcol = jnp.concatenate(
-                    [xcol, jnp.zeros((Lp - L, _LANE), dt)], axis=0
-                )
-            G = G + xcol * yv
-            nyj = nyj + yv * yv
-        if not rbf:
-            return G
         nx = jnp.zeros((Lp, _LANE), dt)
         for dd in range(d):
-            xcol = xt_ref[:, dd, :]
-            if Lp != L:
-                xcol = jnp.concatenate(
-                    [xcol, jnp.zeros((Lp - L, _LANE), dt)], axis=0
-                )
+            yv = xt_ref[jj, dd : dd + 1, :]  # [1, 128]
+            xcol = xt_ref[:, dd, :]  # [Lp, 128]
+            G = G + xcol * yv
+            nyj = nyj + yv * yv
             nx = nx + xcol * xcol
+        if not rbf:
+            return G
         return jnp.exp(-0.5 * (nx + nyj - 2.0 * G))
 
     SL = _sl(Lp, dt)
+    Dm = _dmat(Lp, L, dt)
     K0 = kcol_diag(0)
     C0 = jnp.zeros((Lp, max(num_levels - 1, 1) * _LANE), dt)
     acc0 = jnp.zeros((_LEVROWS, _LANE), dt)
@@ -178,11 +175,8 @@ def _diag_kernel(xt_ref, out_ref, *, L, d, num_levels, rbf):
         Kprev, C, acc = carry
         Knext = kcol_diag(jj + 1)
         colD = Knext - Kprev
-        row = jax.lax.broadcasted_iota(jnp.int32, (Lp, _LANE), 0)
-        shifted = jnp.concatenate(
-            [colD[1:], jnp.zeros((1, _LANE), dt)], axis=0
-        )
-        Mcol = jnp.where(row < L - 1, shifted - colD, jnp.asarray(0.0, dt))
+        Mcol = jnp.dot(Dm, colD, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST).astype(dt)
         nl = num_levels
         if nl >= 2:
             E = jnp.dot(SL, C, preferred_element_type=jnp.float32,
@@ -261,11 +255,14 @@ def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8):
         raise ValueError("fused kernel supports num_levels <= 7")
     N1, L, d = X.shape
     N2 = Y.shape[0]
+    Lp = _round_up(L, 8)
     N1p = _round_up(N1, bx)
     N2p = _round_up(N2, _LANE)
-    Xt = jnp.moveaxis(X, 0, -1)  # [L, d, N1]
-    if N1p != N1:
-        Xt = jnp.pad(Xt, ((0, 0), (0, 0), (0, N1p - N1)))
+    Xp = jnp.pad(X, ((0, N1p - N1), (0, Lp - L), (0, 0)))
+    # pack: [nblk, bx, Lp, d] -> [nblk, Lp, d, bx] -> [nblk, Lp, d*bx]
+    Xpk = Xp.reshape(N1p // bx, bx, Lp, d).transpose(0, 2, 3, 1).reshape(
+        N1p // bx, Lp, d * bx
+    )
     Yt = jnp.moveaxis(Y, 0, -1)  # [L, d, N2]
     if N2p != N2:
         Yt = jnp.pad(Yt, ((0, 0), (0, 0), (0, N2p - N2)))
@@ -275,7 +272,7 @@ def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8):
         ),
         grid=(N1p // bx, N2p // _LANE),
         in_specs=[
-            pl.BlockSpec((L, d, bx), lambda i, j: (0, 0, i),
+            pl.BlockSpec((1, Lp, d * bx), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, d, _LANE), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
@@ -292,7 +289,7 @@ def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8):
                                 + N1p * _LEVROWS * N2p),
             transcendentals=N1p * N2p * L * L if rbf else 0,
         ),
-    )(Xt, Yt)
+    )(Xpk, Yt)
     return jnp.moveaxis(out[:N1, : num_levels + 1, :N2], 1, 0)
 
 
@@ -321,17 +318,17 @@ def _fused_diag_impl(X, num_levels, rbf, interpret):
     if num_levels + 1 > _LEVROWS:
         raise ValueError("fused kernel supports num_levels <= 7")
     N, L, d = X.shape
+    Lp = _round_up(L, 8)
     Np = _round_up(N, _LANE)
-    Xt = jnp.moveaxis(X, 0, -1)
-    if Np != N:
-        Xt = jnp.pad(Xt, ((0, 0), (0, 0), (0, Np - N)))
+    Xt = jnp.moveaxis(X, 0, -1)  # [L, d, N]
+    Xt = jnp.pad(Xt, ((0, Lp - L), (0, 0), (0, Np - N)))
     out = pl.pallas_call(
         functools.partial(
             _diag_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf
         ),
         grid=(Np // _LANE,),
         in_specs=[
-            pl.BlockSpec((L, d, _LANE), lambda j: (0, 0, j),
+            pl.BlockSpec((Lp, d, _LANE), lambda j: (0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _LEVROWS, _LANE), lambda j: (j, 0, 0),

@@ -125,29 +125,10 @@ def make_sharded_step_fn(
 
 def _apply_natgrad(model, mu, S, g_mu, g_S, gamma, jitter=1e-8):
     """Replicated natgrad update from (already psum-reduced) gradients."""
-    from jax import scipy as jsp
+    from gpsig_tpu.training.natgrad import gaussian_natgrad_update
 
-    if model.q_diag:
-        prec = 1.0 / S
-        prec_new = jnp.maximum(prec - 2.0 * gamma * g_S, jitter)
-        S_new = 1.0 / prec_new
-        mu_new = S_new * (prec * mu + gamma * (g_mu - 2.0 * g_S * mu))
-        return model.replace(q_mu=mu_new, q_sqrt=jnp.sqrt(S_new))
-
-    g_S = 0.5 * (g_S + jnp.swapaxes(g_S, -1, -2))
-    M = mu.shape[0]
-    eye = jnp.eye(M, dtype=mu.dtype)
-    Ls = jnp.linalg.cholesky(S)
-    Sinv = jax.vmap(lambda Lc: jsp.linalg.cho_solve((Lc, True), eye))(Ls)
-    prec_new = Sinv - 2.0 * gamma * g_S + jitter * eye
-    Lp = jnp.linalg.cholesky(prec_new)
-    S_new = jax.vmap(lambda Lc: jsp.linalg.cho_solve((Lc, True), eye))(Lp)
-    theta1_new = jnp.einsum("cij,jc->ic", Sinv, mu) + gamma * (
-        g_mu - 2.0 * jnp.einsum("cij,jc->ic", g_S, mu)
-    )
-    mu_new = jnp.einsum("cij,jc->ic", S_new, theta1_new)
-    q_sqrt_new = jnp.linalg.cholesky(
-        0.5 * (S_new + jnp.swapaxes(S_new, -1, -2)) + jitter * eye
+    mu_new, q_sqrt_new = gaussian_natgrad_update(
+        mu, S, g_mu, g_S, gamma, jitter, model.q_diag
     )
     return model.replace(q_mu=mu_new, q_sqrt=q_sqrt_new)
 

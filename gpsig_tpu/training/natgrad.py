@@ -41,6 +41,66 @@ def _elbo_mean_cov(model, mu, cov_or_s2, X, Y, num_data, key, diag):
     return m.elbo(X, Y, num_data=num_data, key=key)
 
 
+#: backoff factors tried when S'⁻¹ = S⁻¹ − 2γ g_S is not positive-definite
+#: (γ too aggressive for the current curvature — the standard failure mode
+#: of non-conjugate natural gradients; GPflow warm-ups γ instead).
+_BACKOFF = (1.0, 0.25, 0.0625, 0.015625)
+
+
+def gaussian_natgrad_update(mu, S, g_mu, g_S, gamma, jitter=1e-8,
+                            diag=False):
+    """Apply the natural-gradient step in (μ, S); returns (μ', q_sqrt').
+
+    Full-covariance path tries γ·{1, ¼, 1/16, 1/64} and keeps the largest
+    step whose new precision stays Cholesky-factorisable (per latent);
+    falls back to no-op if all fail."""
+    if diag:
+        prec = 1.0 / S
+        prec_new = jnp.maximum(prec - 2.0 * gamma * g_S, jitter)
+        S_new = 1.0 / prec_new
+        mu_new = S_new * (prec * mu + gamma * (g_mu - 2.0 * g_S * mu))
+        return mu_new, jnp.sqrt(S_new)
+
+    g_S = 0.5 * (g_S + jnp.swapaxes(g_S, -1, -2))
+    M = mu.shape[0]
+    eye = jnp.eye(M, dtype=mu.dtype)
+    Ls = jnp.linalg.cholesky(S)
+    Sinv = jax.vmap(lambda Lc: jsp.linalg.cho_solve((Lc, True), eye))(Ls)
+    theta1 = jnp.einsum("cij,jc->ic", Sinv, mu)  # S⁻¹μ, [M, C]
+
+    def attempt(scale):
+        g = gamma * scale
+        prec_new = Sinv - 2.0 * g * g_S + jitter * eye
+        Lp = jnp.linalg.cholesky(prec_new)
+        ok = jnp.all(jnp.isfinite(jnp.diagonal(Lp, axis1=-2, axis2=-1)),
+                     axis=-1)  # [C]
+        S_new = jax.vmap(
+            lambda Lc: jsp.linalg.cho_solve((Lc, True), eye)
+        )(jnp.where(ok[:, None, None], Lp, eye[None]))
+        th1 = theta1 + g * (
+            g_mu - 2.0 * jnp.einsum("cij,jc->ic", g_S, mu)
+        )
+        mu_new = jnp.einsum("cij,jc->ic", S_new, th1)
+        q_new = jnp.linalg.cholesky(
+            0.5 * (S_new + jnp.swapaxes(S_new, -1, -2)) + jitter * eye
+        )
+        ok = ok & jnp.all(
+            jnp.isfinite(jnp.diagonal(q_new, axis1=-2, axis2=-1)), axis=-1
+        ) & jnp.all(jnp.isfinite(mu_new), axis=0)
+        return ok, mu_new, q_new
+
+    mu_out = mu
+    q_out = Ls
+    done = jnp.zeros((mu.shape[1],), bool)
+    for scale in _BACKOFF:
+        ok, mu_new, q_new = attempt(scale)
+        take = ok & ~done
+        mu_out = jnp.where(take[None, :], mu_new, mu_out)
+        q_out = jnp.where(take[:, None, None], q_new, q_out)
+        done = done | ok
+    return mu_out, q_out
+
+
 def natgrad_step(model, gamma, X, Y, num_data=None, key=None, jitter=1e-8):
     """One natural-gradient ascent step on (q_mu, q_sqrt); returns the
     updated model. Hyperparameters are untouched."""
@@ -57,35 +117,7 @@ def natgrad_step(model, gamma, X, Y, num_data=None, key=None, jitter=1e-8):
         argnums=(0, 1),
     )(mu, S)
 
-    if diag:
-        prec = 1.0 / S  # [M, C]
-        prec_new = prec - 2.0 * gamma * g_S
-        prec_new = jnp.maximum(prec_new, jitter)
-        S_new = 1.0 / prec_new
-        theta1_new = prec * mu + gamma * (g_mu - 2.0 * g_S * mu)
-        mu_new = S_new * theta1_new
-        return model.replace(q_mu=mu_new, q_sqrt=jnp.sqrt(S_new))
-
-    g_S = 0.5 * (g_S + jnp.swapaxes(g_S, -1, -2))  # symmetrise
-    M = mu.shape[0]
-    eye = jnp.eye(M, dtype=mu.dtype)
-    # S⁻¹ through the cholesky of S
-    Ls = jnp.linalg.cholesky(S)
-    Sinv = jax.vmap(
-        lambda Lc: jsp.linalg.cho_solve((Lc, True), eye)
-    )(Ls)
-    prec_new = Sinv - 2.0 * gamma * g_S + jitter * eye
-    # S' = prec_new⁻¹ via cholesky; also gives chol(S') cheaply:
-    # chol(P⁻¹) = (L_P⁻ᵀ) up to orthogonal factor — compute S' explicitly
-    Lp = jnp.linalg.cholesky(prec_new)
-    S_new = jax.vmap(lambda Lc: jsp.linalg.cho_solve((Lc, True), eye))(Lp)
-    theta1 = jnp.einsum("cij,jc->ic", Sinv, mu)  # S⁻¹μ, [M, C]
-    theta1_new = theta1 + gamma * (
-        g_mu - 2.0 * jnp.einsum("cij,jc->ic", g_S, mu)
-    )
-    mu_new = jnp.einsum("cij,jc->ic", S_new, theta1_new)
-    q_sqrt_new = jnp.linalg.cholesky(
-        0.5 * (S_new + jnp.swapaxes(S_new, -1, -2))
-        + jitter * eye
+    mu_new, q_sqrt_new = gaussian_natgrad_update(
+        mu, S, g_mu, g_S, gamma, jitter, diag
     )
     return model.replace(q_mu=mu_new, q_sqrt=q_sqrt_new)
