@@ -81,7 +81,7 @@ def main():
     t_cpu = time.time() - t0
     cpu_entries_per_s = (N_cpu * N_cpu) / t_cpu
 
-    # --- TPU (or default device) jitted path, float32 ---
+    # --- TPU jitted path, float32, fused Pallas engine ---
     kern = SignatureRBF(
         d, num_levels, lengthscales=1.0, order=1, normalization=True,
         dtype=jnp.float32,
@@ -92,13 +92,15 @@ def main():
     def gram(k, X):
         return k.K(X)
 
-    gram(kern, X).block_until_ready()  # compile
-    reps = 5
-    t0 = time.time()
-    for _ in range(reps):
-        out = gram(kern, X)
-    out.block_until_ready()
-    t_tpu = (time.time() - t0) / reps
+    np.asarray(gram(kern, X))  # compile + settle
+    # honest timing: vary the input so no layer can cache, and force a
+    # host fetch (full device sync) each call; report the median of 5.
+    ts = []
+    for i in range(5):
+        t0 = time.time()
+        np.asarray(gram(kern, X * (1.0 + 1e-4 * i)))
+        ts.append(time.time() - t0)
+    t_tpu = sorted(ts)[len(ts) // 2]
     tpu_entries_per_s = (N_tpu * N_tpu) / t_tpu
 
     print(

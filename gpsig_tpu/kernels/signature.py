@@ -64,6 +64,10 @@ class SignatureKernel:
     #: recursion engine: 'xla' (lax cumsums), 'pallas' (fused VMEM kernel,
     #: order-1 only), or 'auto' (pallas on TPU backends when order == 1)
     engine: str = struct.field(pytree_node=False, default="auto")
+    #: XLA-path memory control: compute K in row blocks of this many
+    #: sequences (0 = single pass). The fused Pallas engine needs no
+    #: blocking (it never materialises the [N², L²] tensor).
+    row_block: int = struct.field(pytree_node=False, default=0)
 
     # -- constrained views ------------------------------------------------
     @property
@@ -202,12 +206,28 @@ class SignatureKernel:
         M = self._increment_matrix_diag(X)
         return self._recursion(M)
 
+    def _K_levels_blocked(self, X, Y):
+        rb = self.row_block
+        if rb <= 0 or X.shape[0] <= rb or self._fused_base_kind() is not None:
+            return self._K_levels(X, Y)
+        import jax
+
+        N1 = X.shape[0]
+        pad = (-N1) % rb
+        Xp = jnp.concatenate([X, X[:pad]], axis=0) if pad else X
+        blocks = Xp.reshape(-1, rb, *X.shape[1:])
+        out = jax.lax.map(lambda xb: self._K_levels(xb, Y), blocks)
+        out = jnp.moveaxis(out, 1, 0).reshape(
+            self.num_levels + 1, -1, Y.shape[0]
+        )
+        return out[:, :N1]
+
     def K(self, X, X2=None, return_levels=False):
         """Signature-kernel Gram matrix [N1, N2]."""
         Xs = self._augment(self._as_sequences(X))
         sym = X2 is None
         Ys = Xs if sym else self._augment(self._as_sequences(X2))
-        levels = self._K_levels(Xs, Ys)  # [nl+1, N1, N2]
+        levels = self._K_levels_blocked(Xs, Ys)  # [nl+1, N1, N2]
         if self.normalization:
             dx = self._K_levels_diag(Xs)
             dy = dx if sym else self._K_levels_diag(Ys)
@@ -217,11 +237,17 @@ class SignatureKernel:
         return weighted if return_levels else jnp.sum(weighted, axis=0)
 
     def Kdiag(self, X, return_levels=False):
-        Xs = self._augment(self._as_sequences(X))
-        levels = self._K_levels_diag(Xs)  # [nl+1, N]
-        if self.normalization:
-            levels = _normalize_levels(levels, levels, levels)
+        X = self._as_sequences(X)
+        N = X.shape[0]
         w = self.level_variances
+        if self.normalization:
+            # per-level normalisation makes every level's diag exactly 1 —
+            # Kdiag is the constant σ²Σσ_m², no recursion needed.
+            ones = jnp.ones((self.num_levels + 1, N), w.dtype)
+            weighted = w[:, None] * ones
+            return weighted if return_levels else jnp.sum(weighted, axis=0)
+        Xs = self._augment(X)
+        levels = self._K_levels_diag(Xs)  # [nl+1, N]
         weighted = w[:, None] * levels
         return weighted if return_levels else jnp.sum(weighted, axis=0)
 
