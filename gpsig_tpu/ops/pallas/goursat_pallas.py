@@ -3,11 +3,14 @@
 TPU-native equivalent of the reference fork's CUDA wavefront solver
 (SURVEY.md §2.2: one block per sequence pair, threads sweeping
 antidiagonals). Here the sweep is expressed in the *skewed* layout built by
-``gpsig_tpu.ops.goursat._skewpad`` — diagonal d of the solution grid is a
-lane vector — and the kernel iterates diagonals in the Pallas grid:
+``gpsig_tpu.ops.goursat.skewpad_diag_major`` — diagonal d of the solution
+grid is a lane vector — and the kernel iterates diagonals in the Pallas
+grid:
 
 - grid = (pair_blocks, S+T-1): the second axis streams skewed-increment
-  diagonals from HBM (Pallas double-buffers them automatically);
+  diagonals from HBM (Pallas double-buffers them automatically); the input
+  is laid out diagonal-major [D, B, S+1] so each block is one diagonal of
+  a pair block;
 - the two wavefront carries (diagonals d-1, d-2) live in VMEM scratch and
   persist across grid steps (TPU grids execute sequentially);
 - the lane-shift u[i-1] is a static pad+slice (no roll primitive needed);
@@ -35,8 +38,8 @@ def _round_up(x, m):
 
 
 def _kernel(sk_ref, out_ref, prev_ref, prev2_ref, *, S, T, Sp):
-    """sk_ref: [bb, 1, Sp] — column d-? of the skewed increments;
-    out_ref: [bb, 1, _LANE] corner output; scratch [bb, Sp] carries."""
+    """sk_ref: [1, bb, Sp] — one skewed-increment diagonal for bb pairs;
+    out_ref: [bb, _LANE] corner output; scratch [bb, Sp] carries."""
     d_idx = pl.program_id(1)  # 0 .. S+T-2 ; diagonal d = d_idx + 2
     bb = prev_ref.shape[0]
     dt = prev_ref.dtype
@@ -55,8 +58,7 @@ def _kernel(sk_ref, out_ref, prev_ref, prev2_ref, *, S, T, Sp):
     d = d_idx + 2
     prev = prev_ref[...]
     prev2 = prev2_ref[...]
-    acol = sk_ref[:, 0, :]
-    # shift right by one lane: x_sh[i] = x[i-1], zero at i=0
+    acol = sk_ref[0]
     prev_sh = _shift1(prev)
     prev2_sh = _shift1(prev2)
     upd = prev + prev_sh - prev2_sh + acol * (prev + prev_sh) * 0.5
@@ -76,40 +78,41 @@ def _kernel(sk_ref, out_ref, prev_ref, prev2_ref, *, S, T, Sp):
             jnp.where(i_lane == S, curr, jnp.asarray(0.0, dt)),
             axis=1, keepdims=True,
         )
-        out_ref[:, 0, :] = jnp.where(lane == 0, corner, 0.0)
+        out_ref[...] = jnp.where(lane == 0, corner, 0.0)
 
 
 def goursat_corner_pallas(skew, S, T, block_pairs=8, interpret=False):
     """Corner u(S,T) for a batch of skewed increment grids.
 
-    skew: [B, S+T-1, S+1] diag-major skewed increments (built by
-    goursat._skewpad then transposed); returns [B]."""
+    skew: [B, S+T-1, S+1] diag-major skewed increments (from
+    goursat.skewpad_diag_major); returns [B]."""
     B = skew.shape[0]
     D = S + T - 1
     Sp = _round_up(S + 1, _LANE)
     if skew.shape[-1] != Sp:
         skew = jnp.pad(skew, ((0, 0), (0, 0), (0, Sp - skew.shape[-1])))
-    Bp = _round_up(B, block_pairs)
+    bb = block_pairs
+    Bp = _round_up(B, bb)
     if Bp != B:
         skew = jnp.pad(skew, ((0, Bp - B), (0, 0), (0, 0)))
-    bb = block_pairs
+    skew_dm = jnp.moveaxis(skew, 1, 0)  # [D, Bp, Sp]
     out = pl.pallas_call(
         functools.partial(_kernel, S=S, T=T, Sp=Sp),
         grid=(Bp // bb, D),
         in_specs=[
-            pl.BlockSpec((bb, 1, Sp), lambda b, d: (b, d, 0),
+            pl.BlockSpec((1, bb, Sp), lambda b, d: (d, b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bb, 1, _LANE), lambda b, d: (b, 0, 0),
+        out_specs=pl.BlockSpec((bb, _LANE), lambda b, d: (b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, 1, _LANE), skew.dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, _LANE), skew.dtype),
         scratch_shapes=[
             pltpu.VMEM((bb, Sp), skew.dtype),
             pltpu.VMEM((bb, Sp), skew.dtype),
         ],
         interpret=interpret,
-    )(skew)
-    return out[:B, 0, 0]
+    )(skew_dm)
+    return out[:B, 0]
 
 
 def _shift1(x):

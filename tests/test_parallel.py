@@ -90,6 +90,42 @@ def test_sharded_step_matches_single_device(mesh_dp, use_natgrad):
     )
 
 
+def test_goursat_tile_matches_subgrid():
+    from gpsig_tpu.ops import goursat
+    from gpsig_tpu.parallel.goursat_sp import goursat_tile
+
+    rng = np.random.default_rng(10)
+    inc = jnp.asarray(0.4 * rng.standard_normal((2, 6, 7)))
+    full = goursat.goursat_grid(inc)  # [2, 7, 8]
+    # tile covering u rows 3..6, cols 2..7
+    tile, bottom = goursat_tile(
+        inc[:, 2:6, 1:7],
+        top=full[:, 2, 2:8],
+        left=full[:, 3:7, 1],
+        corner=full[:, 2, 1],
+    )
+    np.testing.assert_allclose(
+        np.asarray(tile), np.asarray(full[:, 3:7, 2:8]), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(bottom), np.asarray(full[:, 6, 2:8]), rtol=1e-10
+    )
+
+
+@pytest.mark.parametrize("col_block", [3, 5, 16])
+def test_goursat_seq_sharded_matches_serial(mesh_dp, col_block):
+    from gpsig_tpu.ops import goursat
+    from gpsig_tpu.parallel.goursat_sp import goursat_corner_seq_sharded
+
+    rng = np.random.default_rng(11)
+    inc = jnp.asarray(0.3 * rng.standard_normal((3, 16, 13)))
+    got = goursat_corner_seq_sharded(inc, mesh_dp, col_block=col_block)
+    want = goursat.goursat_corner(inc)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-9
+    )
+
+
 def test_sharded_step_runs_on_2d_mesh(mesh2d):
     """Same step on a (4, 2) mesh — tile axis unused by SVI but the specs
     must compose (the dryrun_multichip configuration)."""
