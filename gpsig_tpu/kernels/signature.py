@@ -179,18 +179,32 @@ class SignatureKernel:
 
     def _recursion(self, M):
         """Dispatch the per-level DP to the fused Pallas engine or XLA."""
-        if self._use_pallas():
+        batch = M.shape[:-2]
+        nb = 1
+        for s in batch:
+            nb *= s
+        if self._use_pallas() and (
+            nb >= self._FUSED_MIN_PAIRS or self.engine == "pallas"
+        ):
             from gpsig_tpu.ops.pallas.sig_gram import sig_gram_levels
 
-            batch = M.shape[:-2]
             flat = M.reshape((-1,) + M.shape[-2:])
             out = sig_gram_levels(flat, self.num_levels)
             return out.reshape((self.num_levels + 1,) + batch)
         return sigops.signature_kern(M, self.num_levels, self.order)
 
+    # Pallas pays off on large Grams; below these (static) sizes the XLA
+    # path is faster end-to-end (and avoids a multi-minute Mosaic compile
+    # through the axon remote-compile relay for every new minibatch shape).
+    _FUSED_MIN_PAIRS = 16384
+    _FUSED_MIN_DIAG = 512
+
     def _K_levels(self, X, Y):
         rbf = self._fused_base_kind()
-        if rbf is not None:
+        if rbf is not None and (
+            X.shape[0] * Y.shape[0] >= self._FUSED_MIN_PAIRS
+            or self.engine == "pallas"
+        ):
             from gpsig_tpu.ops.pallas.fused_gram import fused_gram_levels
 
             return fused_gram_levels(X, Y, self.num_levels, rbf)
@@ -199,7 +213,9 @@ class SignatureKernel:
 
     def _K_levels_diag(self, X):
         rbf = self._fused_base_kind()
-        if rbf is not None:
+        if rbf is not None and (
+            X.shape[0] >= self._FUSED_MIN_DIAG or self.engine == "pallas"
+        ):
             from gpsig_tpu.ops.pallas.fused_gram import fused_diag_levels
 
             return fused_diag_levels(X, self.num_levels, rbf)

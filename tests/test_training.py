@@ -1,0 +1,85 @@
+"""Training-loop integration: backoff robustness, fit + resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gpsig_tpu import likelihoods as liks
+from gpsig_tpu.inducing import make_inducing_sequences_from_data
+from gpsig_tpu.kernels.signature import SignatureRBF
+from gpsig_tpu.models.svgp import SVGP
+from gpsig_tpu.training.loop import fit, init_state, make_step_fn
+from gpsig_tpu.training.natgrad import natgrad_step
+
+
+def _setup(rng, N=24, L=10, d=2, C=3):
+    X = (0.3 * rng.standard_normal((N, L, d))).cumsum(axis=1)
+    y = rng.integers(0, C, N)
+    kern = SignatureRBF(d, 3, lengthscales=1.0, order=1)
+    feat = make_inducing_sequences_from_data(
+        jax.random.PRNGKey(0), jnp.asarray(X), 10, 4, d
+    )
+    model = SVGP.create(kern, liks.MultiClass(num_classes=C), feat,
+                        num_latent=C)
+    return jnp.asarray(X), jnp.asarray(y), model
+
+
+def test_natgrad_backoff_keeps_elbo_finite_at_large_gamma():
+    """γ = 1.0 on a fresh non-conjugate model would blow up without the
+    backoff; with it the step must stay finite and not decrease the ELBO
+    catastrophically."""
+    rng = np.random.default_rng(0)
+    X, y, model = _setup(rng)
+    e0 = float(model.elbo(X, y))
+    m1 = natgrad_step(model, 1.0, X, y, num_data=X.shape[0])
+    e1 = float(m1.elbo(X, y))
+    assert np.isfinite(e1)
+    assert e1 > e0 - 50.0  # no catastrophic collapse
+    # repeated large-γ steps remain finite
+    m2 = natgrad_step(m1, 1.0, X, y, num_data=X.shape[0])
+    assert np.isfinite(float(m2.elbo(X, y)))
+
+
+def test_fit_improves_and_moves_hypers():
+    rng = np.random.default_rng(1)
+    X, y, model = _setup(rng)
+    e0 = float(model.elbo(X, y))
+    trained, hist = fit(model, X, y, num_iters=40, learning_rate=1e-2,
+                        gamma=0.05, log_every=10)
+    e1 = float(trained.elbo(X, y))
+    assert e1 > e0
+    assert not np.allclose(
+        np.asarray(trained.kernel.raw_lengthscales),
+        np.asarray(model.kernel.raw_lengthscales),
+    )
+    # variational parameters moved via natgrad even though Adam masks them
+    assert not np.allclose(np.asarray(trained.q_mu), 0.0)
+
+
+def test_step_fn_resume_from_checkpoint(tmp_path):
+    from gpsig_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    rng = np.random.default_rng(2)
+    X, y, model = _setup(rng)
+    opt = optax.adam(1e-2)
+    step = make_step_fn(opt, num_data=X.shape[0], gamma=0.05)
+    state = init_state(model, opt)
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, _ = step(state, X, y, sub)
+    save_checkpoint(str(tmp_path / "ck"), state)
+    restored = restore_checkpoint(str(tmp_path / "ck"),
+                                  init_state(model, opt))
+    assert int(restored.step) == 3
+    # continuing from restored state must equal continuing from live state
+    k2 = jax.random.PRNGKey(42)
+    s1, e1 = step(state, X, y, k2)
+    s2, e2 = step(restored, X, y, k2)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(s1.model.q_mu), np.asarray(s2.model.q_mu), atol=1e-12
+    )
