@@ -111,6 +111,19 @@ class InducingSequences:
     def Kuf(self, kernel, X):
         return kernel.K(self.raw_Z, X)
 
+    def covariances(self, kernel, X, jitter=None):
+        """(Kuu, Kuf) in one pass — the Z-side diagonal is computed once
+        (the reference's combined-covariance helpers, SURVEY.md §2.1)."""
+        jitter = default_jitter() if jitter is None else jitter
+        if hasattr(kernel, "seq_covariances"):
+            Kuu, Kuf = kernel.seq_covariances(self.raw_Z, X)
+        else:
+            Kuu, Kuf = kernel.K(self.raw_Z), kernel.K(self.raw_Z, X)
+        return (
+            Kuu + jitter * jnp.eye(Kuu.shape[-1], dtype=Kuu.dtype),
+            Kuf,
+        )
+
 
 @struct.dataclass
 class InducingVariables:

@@ -252,6 +252,27 @@ class SignatureKernel:
         weighted = w[:, None, None] * levels
         return weighted if return_levels else jnp.sum(weighted, axis=0)
 
+    def seq_covariances(self, Z, X):
+        """(K(Z,Z), K(Z,X)) sharing the diag-normalisation work.
+
+        The reference's combined-covariance helpers compute (Kuu, Kuf) in
+        one pass (SURVEY.md §2.1); here the Z-side diagonal recursion — the
+        O(M·L²) piece — is computed once instead of twice."""
+        Zs = self._augment(self._as_sequences(Z))
+        Xs = self._augment(self._as_sequences(X))
+        zz = self._K_levels_blocked(Zs, Zs)
+        zx = self._K_levels_blocked(Zs, Xs)
+        if self.normalization:
+            dz = self._K_levels_diag(Zs)
+            dx = self._K_levels_diag(Xs)
+            zz = _normalize_levels(zz, dz[:, :, None], dz[:, None, :])
+            zx = _normalize_levels(zx, dz[:, :, None], dx[:, None, :])
+        w = self.level_variances
+        return (
+            jnp.sum(w[:, None, None] * zz, axis=0),
+            jnp.sum(w[:, None, None] * zx, axis=0),
+        )
+
     def Kdiag(self, X, return_levels=False):
         X = self._as_sequences(X)
         N = X.shape[0]

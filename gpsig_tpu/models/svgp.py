@@ -61,6 +61,10 @@ class SVGP:
         return jnp.tril(self.q_sqrt)
 
     def _covariances(self, X):
+        if hasattr(self.inducing, "covariances"):
+            return self.inducing.covariances(
+                self.kernel, X, default_jitter()
+            )
         Kuu = self.inducing.Kuu(self.kernel, default_jitter())
         Kuf = self.inducing.Kuf(self.kernel, X)
         return Kuu, Kuf

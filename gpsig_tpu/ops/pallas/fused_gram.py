@@ -297,12 +297,42 @@ def _fused_vjp_fwd(X, Y, num_levels, rbf, interpret, bx):
     return _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx), (X, Y)
 
 
+_BWD_ROW_BLOCK = 64
+
+
 def _fused_vjp_bwd(num_levels, rbf, interpret, bx, res, g):
+    """Backward via the XLA reference, row-blocked so the [N1, N2, L, L]
+    intermediates never materialise at full N1 (a 51 GB HBM footprint at
+    N=800; each block is O(block·N2·L²))."""
     X, Y = res
-    _, vjp = jax.vjp(
-        lambda x, y: _xla_reference(x, y, num_levels, rbf), X, Y
+    N1 = X.shape[0]
+    rb = _BWD_ROW_BLOCK
+    if N1 <= rb:
+        _, vjp = jax.vjp(
+            lambda x, y: _xla_reference(x, y, num_levels, rbf), X, Y
+        )
+        return vjp(g)
+
+    pad = (-N1) % rb
+    Xp = jnp.concatenate([X, jnp.zeros((pad,) + X.shape[1:], X.dtype)])
+    gp = jnp.concatenate(
+        [g, jnp.zeros(g.shape[:1] + (pad,) + g.shape[2:], g.dtype)], axis=1
     )
-    return vjp(g)
+    xblocks = Xp.reshape(-1, rb, *X.shape[1:])
+    gblocks = jnp.moveaxis(
+        gp.reshape(g.shape[0], -1, rb, g.shape[2]), 1, 0
+    )  # [nblk, nl+1, rb, N2]
+
+    def block_vjp(args):
+        xb, gb = args
+        _, vjp = jax.vjp(
+            lambda x, y: _xla_reference(x, y, num_levels, rbf), xb, Y
+        )
+        return vjp(gb)
+
+    xbar_blocks, ybar_blocks = jax.lax.map(block_vjp, (xblocks, gblocks))
+    xbar = xbar_blocks.reshape(-1, *X.shape[1:])[:N1]
+    return xbar, jnp.sum(ybar_blocks, axis=0)
 
 
 fused_gram_levels.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)

@@ -37,8 +37,11 @@ from gpsig_tpu.training.loop import TrainState
 
 def _local_elbo(model, X, Y, num_data, key, n_shards):
     """Per-shard ELBO contribution (psum-able)."""
-    Kuu = model.inducing.Kuu(model.kernel)
-    Kuf = model.inducing.Kuf(model.kernel, X)
+    if hasattr(model.inducing, "covariances"):
+        Kuu, Kuf = model.inducing.covariances(model.kernel, X)
+    else:
+        Kuu = model.inducing.Kuu(model.kernel)
+        Kuf = model.inducing.Kuf(model.kernel, X)
     Knn = model.kernel.Kdiag(X)
     L = jnp.linalg.cholesky(Kuu)
     from gpsig_tpu import gauss
