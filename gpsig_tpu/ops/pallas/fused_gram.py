@@ -301,10 +301,14 @@ _BWD_ROW_BLOCK = 64
 
 
 def _fused_vjp_bwd(num_levels, rbf, interpret, bx, res, g):
-    """Backward via the XLA reference, row-blocked so the [N1, N2, L, L]
-    intermediates never materialise at full N1 (a 51 GB HBM footprint at
-    N=800; each block is O(block·N2·L²))."""
+    """Backward: fully-fused reverse-sweep Pallas kernel on TPU backends;
+    row-blocked XLA recompute elsewhere (the [N1, N2, L, L] intermediates
+    would need 51 GB HBM at N=800 unblocked)."""
     X, Y = res
+    if not interpret and jax.default_backend() not in ("cpu",):
+        return fused_gram_levels_bwd_pallas(
+            X, Y, g, num_levels, rbf, interpret, bx
+        )
     N1 = X.shape[0]
     rb = _BWD_ROW_BLOCK
     if N1 <= rb:
@@ -383,3 +387,257 @@ def _diag_vjp_bwd(num_levels, rbf, interpret, X, g):
 
 
 fused_diag_levels.defvjp(_diag_vjp_fwd, _diag_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused backward: reverse column sweep (adjoint of the forward DP).
+#
+# Derivation. Forward: A_1[:,j] = M[:,j];  A_m[:,j] = M[:,j] ⊙ (SL·CC_{m-1,j})
+# with CC_{m,j} = Σ_{j'<j} A_m[:,j'];  k_m = Σ A_m. For cotangents w_m:
+#
+#   Ā_m[:,j] = w_m + R_m(j),  R_m(j) = Σ_{j'>j} SLᵀ·(M[:,j'] ⊙ Ā_{m+1}[:,j'])
+#   M̄[:,j]  = Ā_1[:,j] + Σ_{m≥2} Ā_m[:,j] ⊙ (SL·CC_{m-1,j})
+#
+# The forward states CC are reconstructed EXACTLY while sweeping j downward
+# (CC_{m,j} = CC_{m,j+1} − A_m[:,j], resolvable in ascending m), so nothing
+# O(L) per pair is ever stored: one forward recompute to get the end states,
+# then one reverse sweep — ~3× forward cost, all in VMEM. M̄ chains back
+# through the bidiagonal difference (Dᵀ), the base-kernel column (exp for
+# RBF) and the d-loop FMAs to X̄ and Ȳ. Partial X̄/Ȳ per grid step are
+# reduced over the opposing grid axis outside the kernel (grid revisits
+# along a non-innermost axis cannot accumulate in-place on TPU).
+# ---------------------------------------------------------------------------
+
+
+def _kcol_wide_raw(xcols, nx, y_ref, jj, d, bx):
+    """Returns (G, ny, yws): the pre-exp pieces of a base-kernel column."""
+    Lp = nx.shape[0]
+    W = bx * _LANE
+    dt = nx.dtype
+    G = jnp.zeros((Lp, W), dt)
+    ny = jnp.zeros((1, W), dt)
+    yws = []
+    for dd in range(d):
+        yv = y_ref[jj, dd : dd + 1, :]
+        yw = jnp.concatenate([yv] * bx, axis=1)
+        yws.append(yw)
+        G = G + xcols[dd] * yw
+        ny = ny + yw * yw
+    return G, ny, yws
+
+
+def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
+                      *, L, d, num_levels, rbf, bx):
+    """x_ref [1, Lp, d·bx]; y_ref [L, d, 128]; g_ref [bx, _LEVROWS, 128]
+    (cotangents of the level sums); outputs: xb_ref [1, 1, Lp, d·bx]
+    (X̄ partial for this y-block), yb_ref [1, 1, L, d·128] (Ȳ partial for
+    this x-block); yscr: VMEM scratch [L, d·128]."""
+    dt = x_ref.dtype
+    Lp = x_ref.shape[1]
+    W = bx * _LANE
+    nl = num_levels
+    hp = jax.lax.Precision.HIGHEST
+
+    er = jax.lax.broadcasted_iota(jnp.int32, (bx, W), 0)
+    ec = jax.lax.broadcasted_iota(jnp.int32, (bx, W), 1)
+    Eb = (ec // _LANE == er).astype(dt)
+    xcols = []
+    nx = jnp.zeros((Lp, W), dt)
+    for dd in range(d):
+        xs = x_ref[0, :, dd * bx : (dd + 1) * bx]
+        xw = jnp.dot(xs, Eb, preferred_element_type=jnp.float32,
+                     precision=hp).astype(dt)
+        xcols.append(xw)
+        nx = nx + xw * xw
+    SL = _sl(Lp, dt)
+    Dm = _dmat(Lp, L, dt)
+
+    def kcol(jj):
+        G, ny, yws = _kcol_wide_raw(xcols, nx, y_ref, jj, d, bx)
+        if rbf:
+            return jnp.exp(-0.5 * (nx + ny - 2.0 * G)), yws
+        return G, yws
+
+    # cotangent lane vectors w_m: [1, W] per level
+    wvecs = []
+    for m in range(1, nl + 1):
+        pieces = [g_ref[b, m : m + 1, :] for b in range(bx)]
+        wvecs.append(jnp.concatenate(pieces, axis=1))
+
+    # ---- phase 1: forward recompute of the end states CC_m(L-1) ----------
+    K0, _ = kcol(0)
+    C0 = jnp.zeros((Lp, max(nl - 1, 1) * W), dt)
+
+    def fwd_body(jj, carry):
+        Kprev, C = carry
+        Knext, _ = kcol(jj + 1)
+        Mcol = jnp.dot(Dm, Knext - Kprev,
+                       preferred_element_type=jnp.float32,
+                       precision=hp).astype(dt)
+        if nl >= 2:
+            E = jnp.dot(SL, C, preferred_element_type=jnp.float32,
+                        precision=hp).astype(dt)
+            As = [Mcol] + [
+                Mcol * E[:, (m - 2) * W : (m - 1) * W]
+                for m in range(2, nl + 1)
+            ]
+            C = C + jnp.concatenate(As[: nl - 1], axis=1)
+        return Knext, C
+
+    _, CCend = jax.lax.fori_loop(0, L - 1, fwd_body, (K0, C0))
+
+    # ---- phase 2: reverse sweep -------------------------------------------
+    def chain_column(c_idx, Kbar, Kc, yws, xbar_acc, nxbar):
+        """Backprop one base-kernel column's cotangent to X̄/Ȳ; writes the
+        Ȳ row into yscr and returns updated (xbar_acc, nxbar)."""
+        if rbf:
+            ubar = Kbar * Kc
+            Gbar = ubar
+            nxbar = nxbar - 0.5 * ubar
+            nybar = -0.5 * jnp.sum(ubar, axis=0, keepdims=True)
+        else:
+            Gbar = Kbar
+            nybar = None
+        yrow_parts = []
+        new_xbar = []
+        for dd in range(d):
+            xb = xbar_acc[:, dd * W : (dd + 1) * W] + Gbar * yws[dd]
+            new_xbar.append(xb)
+            yb = jnp.sum(Gbar * xcols[dd], axis=0, keepdims=True)
+            if rbf:
+                yb = yb + 2.0 * yws[dd] * nybar
+            # reduce lane groups: [1, W] -> [1, 128]
+            red = yb[:, :_LANE]
+            for b in range(1, bx):
+                red = red + yb[:, b * _LANE : (b + 1) * _LANE]
+            yrow_parts.append(red)
+        yscr[pl.ds(c_idx, 1), :] = jnp.concatenate(yrow_parts, axis=1)
+        return jnp.concatenate(new_xbar, axis=1), nxbar
+
+    Kend, yws_end = kcol(L - 1)
+
+    def rev_body(t, carry):
+        (K_hi, yws_hi, CC, R, colDbar_prev, xbar_acc, nxbar) = carry
+        jj = L - 2 - t
+        K_lo, yws_lo = kcol(jj)
+        Mcol = jnp.dot(Dm, K_hi - K_lo,
+                       preferred_element_type=jnp.float32,
+                       precision=hp).astype(dt)
+        # reconstruct CC_m(jj) and E_m = SL·CC_{m-1}(jj), ascending m
+        As = [Mcol]
+        Es = []
+        CC_new = []
+        for m in range(1, nl):
+            CCm = CC[:, (m - 1) * W : m * W] - As[m - 1]
+            CC_new.append(CCm)
+            E = jnp.dot(SL, CCm, preferred_element_type=jnp.float32,
+                        precision=hp).astype(dt)
+            Es.append(E)
+            As.append(Mcol * E)
+        CC = (jnp.concatenate(CC_new, axis=1) if nl >= 2
+              else CC)
+        # cotangents of A_m at this column
+        Abars = []
+        for m in range(1, nl + 1):
+            ab = jnp.broadcast_to(wvecs[m - 1], (Lp, W))
+            if m <= nl - 1:
+                ab = ab + R[:, (m - 1) * W : m * W]
+            Abars.append(ab)
+        Mbar = Abars[0]
+        for m in range(2, nl + 1):
+            Mbar = Mbar + Abars[m - 1] * Es[m - 2]
+        # R_m += SLᵀ·(M ⊙ Ā_{m+1}), batched over m = 1..nl-1
+        if nl >= 2:
+            inner = jnp.concatenate(
+                [Mcol * Abars[m] for m in range(1, nl)], axis=1
+            )
+            R = R + jnp.dot(SL.T, inner,
+                            preferred_element_type=jnp.float32,
+                            precision=hp).astype(dt)
+        colDbar = jnp.dot(Dm.T, Mbar, preferred_element_type=jnp.float32,
+                          precision=hp).astype(dt)
+        Kbar_hi = colDbar - colDbar_prev
+        xbar_acc, nxbar = chain_column(
+            jj + 1, Kbar_hi, K_hi, yws_hi, xbar_acc, nxbar
+        )
+        return (K_lo, yws_lo, CC, R, colDbar, xbar_acc, nxbar)
+
+    xbar0 = jnp.zeros((Lp, d * W), dt)
+    nxbar0 = jnp.zeros((Lp, W), dt)
+    R0 = jnp.zeros((Lp, max(nl - 1, 1) * W), dt)
+    colD0 = jnp.zeros((Lp, W), dt)
+    (K_last, yws_last, _, _, colDbar_last, xbar_acc, nxbar) = (
+        jax.lax.fori_loop(
+            0, L - 1, rev_body,
+            (Kend, yws_end, CCend, R0, colD0, xbar0, nxbar0),
+        )
+    )
+    # column c = 0: K̄(0) = −colD̄(0)
+    xbar_acc, nxbar = chain_column(
+        0, -colDbar_last, K_last, yws_last, xbar_acc, nxbar
+    )
+    # nx chain: x̄w_dd += 2 xw_dd ⊙ nx̄ ; reduce lane groups via Ebᵀ
+    for dd in range(d):
+        xb = xbar_acc[:, dd * W : (dd + 1) * W]
+        if rbf:
+            xb = xb + 2.0 * xcols[dd] * nxbar
+        xred = jnp.dot(xb, Eb.T, preferred_element_type=jnp.float32,
+                       precision=hp).astype(dt)  # [Lp, bx]
+        xb_ref[0, 0, :, dd * bx : (dd + 1) * bx] = xred
+    yb_ref[0, 0] = yscr[...]
+
+
+def fused_gram_levels_bwd_pallas(X, Y, g, num_levels, rbf=True,
+                                 interpret=False, bx=8):
+    """Fully-fused backward: (X̄, Ȳ) from level-sum cotangents g
+    [nl+1, N1, N2]. Same tiling as the forward."""
+    N1, L, d = X.shape
+    N2 = Y.shape[0]
+    Lp = _round_up(L, 8)
+    N1p = _round_up(N1, bx)
+    N2p = _round_up(N2, _LANE)
+    Xp = jnp.pad(X, ((0, N1p - N1), (0, Lp - L), (0, 0)))
+    Xpk = Xp.reshape(N1p // bx, bx, Lp, d).transpose(0, 2, 3, 1).reshape(
+        N1p // bx, Lp, d * bx
+    )
+    Yt = jnp.moveaxis(Y, 0, -1)
+    Yt = jnp.pad(Yt, ((0, 0), (0, 0), (0, N2p - N2)))
+    gp = jnp.zeros((N1p, _LEVROWS, N2p), X.dtype)
+    gp = gp.at[:N1, : num_levels + 1, :N2].set(
+        jnp.moveaxis(g, 0, 1).astype(X.dtype)
+    )
+    nbi, nbj = N1p // bx, N2p // _LANE
+    xb, yb = pl.pallas_call(
+        functools.partial(
+            _bwd_fused_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf,
+            bx=bx,
+        ),
+        grid=(nbi, nbj),
+        in_specs=[
+            pl.BlockSpec((1, Lp, d * bx), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, d, _LANE), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bx, _LEVROWS, _LANE), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, Lp, d * bx), lambda i, j: (j, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L, d * _LANE), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nbj, nbi, Lp, d * bx), X.dtype),
+            jax.ShapeDtypeStruct((nbi, nbj, L, d * _LANE), X.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((L, d * _LANE), X.dtype)],
+        interpret=interpret,
+    )(Xpk, Yt, gp)
+    # X̄: sum partials over y-blocks, unpack [nbi, Lp, d, bx] layout
+    xbar = jnp.sum(xb, axis=0).reshape(nbi, Lp, d, bx)
+    xbar = xbar.transpose(0, 3, 1, 2).reshape(N1p, Lp, d)[:N1, :L]
+    # Ȳ: sum partials over x-blocks; [nbj, L, d, 128] -> [N2, L, d]
+    ybar = jnp.sum(yb, axis=0).reshape(nbj, L, d, _LANE)
+    ybar = ybar.transpose(0, 3, 1, 2).reshape(N2p, L, d)[:N2]
+    return xbar, ybar

@@ -83,6 +83,31 @@ def test_fused_gram_grad_via_xla_fallback():
 
 
 @pytest.mark.parametrize("rbf", [True, False])
+@pytest.mark.parametrize("nl", [1, 2, 4])
+def test_fused_backward_kernel_matches_vjp(rbf, nl):
+    from gpsig_tpu.ops.pallas import fused_gram as fg
+
+    rng = np.random.default_rng(8)
+    X = jnp.asarray(
+        (0.3 * rng.standard_normal((5, 7, 2))).cumsum(1), jnp.float32
+    )
+    Y = jnp.asarray(
+        (0.3 * rng.standard_normal((9, 7, 2))).cumsum(1), jnp.float32
+    )
+    g = jnp.asarray(rng.standard_normal((nl + 1, 5, 9)), jnp.float32)
+
+    xb, yb = fg.fused_gram_levels_bwd_pallas(X, Y, g, nl, rbf, True, bx=4)
+    _, vjp = jax.vjp(lambda x, y: fg._xla_reference(x, y, nl, rbf), X, Y)
+    xw, yw = vjp(g)
+    np.testing.assert_allclose(
+        np.asarray(xb), np.asarray(xw), rtol=3e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(yb), np.asarray(yw), rtol=3e-4, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("rbf", [True, False])
 def test_fused_diag_matches_xla(rbf):
     from gpsig_tpu.ops.pallas import fused_gram as fg
 
