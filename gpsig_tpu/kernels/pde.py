@@ -5,6 +5,12 @@ the fork's CUDA wavefront op (SURVEY.md §2.2/§3.4). Here the solver is the
 wavefront `lax.scan` / Pallas kernel of ``gpsig_tpu.ops.goursat`` with
 adjoint-PDE gradients; ``dyadic_order`` refines the finite-difference grid
 2^o× per step.
+
+Numerical note: the finite-difference solution is only *approximately* PSD
+as a Gram matrix — at ``dyadic_order=0`` on short/rough sequences negative
+eigenvalues of order 1e-3 can appear (they shrink rapidly with refinement).
+When using this kernel for Kuu (e.g. with inducing sequences), use
+``dyadic_order >= 1`` and/or a larger jitter.
 """
 
 from __future__ import annotations

@@ -32,8 +32,12 @@ def make_step_fn(
     gamma: float = 0.1,
     use_natgrad: bool = True,
     freeze_variational_in_adam: bool | None = None,
+    log_prior_fn: Callable | None = None,
 ):
-    """Build a jitted (state, X, Y, key) -> (state, elbo) training step."""
+    """Build a jitted (state, X, Y, key) -> (state, elbo) training step.
+
+    log_prior_fn(model) -> scalar log-prior over hyperparameters enables
+    MAP training (the GPflow ``Parameter.prior`` role)."""
     if freeze_variational_in_adam is None:
         freeze_variational_in_adam = use_natgrad
 
@@ -45,7 +49,10 @@ def make_step_fn(
                                  key=key)
 
         def loss_fn(m):
-            return -m.elbo(X, Y, num_data=num_data, key=key)
+            loss = -m.elbo(X, Y, num_data=num_data, key=key)
+            if log_prior_fn is not None:
+                loss = loss - log_prior_fn(m)
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(model)
         if freeze_variational_in_adam:

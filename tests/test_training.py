@@ -59,6 +59,56 @@ def test_fit_improves_and_moves_hypers():
     assert not np.allclose(np.asarray(trained.q_mu), 0.0)
 
 
+def test_svgp_with_pde_kernel():
+    """The untruncated (Goursat) kernel plugs into SVGP with inducing
+    sequences — Kuu/Kuf route through kernel.K (SURVEY.md §2.2 path)."""
+    from gpsig_tpu.kernels.pde import UntruncatedSignatureKernel
+
+    rng = np.random.default_rng(3)
+    X = jnp.asarray((0.3 * rng.standard_normal((14, 8, 2))).cumsum(1))
+    y = jnp.asarray(rng.integers(0, 2, 14))
+    # dyadic_order >= 1: the coarse-grid FD solution is only approximately
+    # PSD (min eig ~ -4e-3 at order 0 here); refinement restores PSD-ness.
+    kern = UntruncatedSignatureKernel.create(2, lengthscales=1.5,
+                                             normalization=True,
+                                             dyadic_order=1)
+    feat = make_inducing_sequences_from_data(
+        jax.random.PRNGKey(0), X, 6, 4, 2
+    )
+    model = SVGP.create(kern, liks.MultiClass(num_classes=2), feat,
+                        num_latent=2)
+    e0 = float(model.elbo(X, y))
+    assert np.isfinite(e0)
+    m1 = natgrad_step(model, 0.5, X, y)
+    e1 = float(m1.elbo(X, y))
+    assert e1 > e0
+    g = jax.grad(lambda m: m.elbo(X, y))(m1)
+    assert np.all(np.isfinite(np.asarray(g.kernel.raw_lengthscales)))
+
+
+def test_map_prior_regularises():
+    rng = np.random.default_rng(4)
+    X, y, model = _setup(rng)
+    opt = optax.adam(5e-2)
+
+    def log_prior(m):
+        # tight prior pinning log-lengthscales to 0
+        return -50.0 * jnp.sum(jnp.log(m.kernel.lengthscales) ** 2)
+
+    step_map = make_step_fn(opt, num_data=X.shape[0], use_natgrad=False,
+                            log_prior_fn=log_prior)
+    step_mle = make_step_fn(opt, num_data=X.shape[0], use_natgrad=False)
+    s_map, s_mle = init_state(model, opt), init_state(model, opt)
+    key = jax.random.PRNGKey(0)
+    for _ in range(25):
+        key, sub = jax.random.split(key)
+        s_map, _ = step_map(s_map, X, y, sub)
+        s_mle, _ = step_mle(s_mle, X, y, sub)
+    dev_map = float(jnp.abs(jnp.log(s_map.model.kernel.lengthscales)).max())
+    dev_mle = float(jnp.abs(jnp.log(s_mle.model.kernel.lengthscales)).max())
+    assert dev_map < dev_mle
+
+
 def test_step_fn_resume_from_checkpoint(tmp_path):
     from gpsig_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 
