@@ -1,0 +1,120 @@
+"""On-chip validation + timing of compiled Pallas kernels (axon relay).
+
+Run ONE job at a time (CLAUDE.md axon hazards):
+
+    python scripts/validate_tpu.py fused_bwd
+    python scripts/validate_tpu.py goursat
+    python scripts/validate_tpu.py fused_fwd
+
+Each job compiles the kernel on the real device, checks parity against the
+XLA reference at f32 tolerances, and reports honest timings (varied inputs,
+host fetch per call, median of 5).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _median_time(fn, n=5):
+    ts = []
+    for i in range(n):
+        t0 = time.time()
+        fn(i)
+        ts.append(time.time() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def job_fused_fwd():
+    import jax.numpy as jnp
+    from gpsig_tpu.ops.pallas import fused_gram as fg
+
+    N, L, d, nl = 200, 50, 2, 4
+    rng = np.random.default_rng(0)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    got = np.asarray(fg.fused_gram_levels(X, X, nl, True))
+    want = np.asarray(fg._xla_reference(X, X, nl, True))
+    err = np.max(np.abs(got - want) / (np.abs(want) + 1e-6))
+    print(f"fused_fwd parity rel-err {err:.2e}")
+    t = _median_time(
+        lambda i: np.asarray(
+            fg.fused_gram_levels(X * (1 + 1e-4 * i), X, nl, True))
+    )
+    print(f"fused_fwd median {t*1e3:.1f} ms  ({N*N/t:.0f} entries/s)")
+
+
+def job_fused_bwd():
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops.pallas import fused_gram as fg
+
+    N, L, d, nl = 200, 50, 2, 4
+    rng = np.random.default_rng(1)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    Y = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    g = jnp.asarray(rng.standard_normal((nl + 1, N, N)), jnp.float32)
+
+    xb, yb = fg.fused_gram_levels_bwd_pallas(X, Y, g, nl, True)
+    xb, yb = np.asarray(xb), np.asarray(yb)
+    _, vjp = jax.vjp(lambda x, y: fg._xla_reference(x, y, nl, True), X, Y)
+    xw, yw = vjp(g)
+    xw, yw = np.asarray(xw), np.asarray(yw)
+    ex = np.max(np.abs(xb - xw)) / (np.max(np.abs(xw)) + 1e-12)
+    ey = np.max(np.abs(yb - yw)) / (np.max(np.abs(yw)) + 1e-12)
+    print(f"fused_bwd parity rel-err X̄ {ex:.2e}  Ȳ {ey:.2e}")
+    t = _median_time(
+        lambda i: np.asarray(
+            fg.fused_gram_levels_bwd_pallas(
+                X * (1 + 1e-4 * i), Y, g, nl, True)[0])
+    )
+    print(f"fused_bwd median {t*1e3:.1f} ms")
+
+
+def job_goursat():
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops import goursat
+    from gpsig_tpu.ops.pallas.goursat_pallas import goursat_corner_pallas
+
+    B, S, T = 512, 99, 99  # L=100 sequences, dyadic_order=0
+    rng = np.random.default_rng(2)
+    inc = jnp.asarray(0.05 * rng.standard_normal((B, S, T)), jnp.float32)
+
+    skew_fn = jax.jit(goursat.skewpad_diag_major)
+    skew = skew_fn(inc)
+    got = np.asarray(goursat_corner_pallas(skew, S, T, block_pairs=8))
+    corner_fn = jax.jit(goursat.goursat_corner)
+    want = np.asarray(corner_fn(inc))
+    err = np.max(np.abs(got - want) / (np.abs(want) + 1e-6))
+    print(f"goursat parity rel-err {err:.2e}")
+
+    def run_pallas(i):
+        s = skew_fn(inc * (1 + 1e-4 * i))
+        return np.asarray(goursat_corner_pallas(s, S, T, block_pairs=8))
+
+    def run_scan(i):
+        return np.asarray(corner_fn(inc * (1 + 1e-4 * i)))
+
+    run_scan(0)
+    tp = _median_time(run_pallas)
+    ts = _median_time(run_scan)
+    print(f"goursat pallas {tp*1e3:.1f} ms vs scan {ts*1e3:.1f} ms "
+          f"({B} pairs, {S+1}x{T+1} grid) -> {ts/tp:.2f}x")
+
+
+if __name__ == "__main__":
+    job = sys.argv[1] if len(sys.argv) > 1 else "fused_fwd"
+    t0 = time.time()
+    {"fused_fwd": job_fused_fwd,
+     "fused_bwd": job_fused_bwd,
+     "goursat": job_goursat}[job]()
+    print(f"total {time.time()-t0:.1f} s")

@@ -51,6 +51,36 @@ def test_ts_parser_roundtrip(tmp_path):
     np.testing.assert_allclose(Xtr[1][:, 1], [3.5, 4.5, 4.5])
 
 
+def test_native_ts_parser_matches_python(tmp_path):
+    """Native C++ parser (native/fastts.cpp) vs the Python oracle."""
+    from gpsig_tpu.data import _native
+
+    rng = np.random.default_rng(0)
+    lines = ["@problemName Big", "# comment", "@data"]
+    for i in range(40):
+        L = int(rng.integers(3, 12))
+        dims = []
+        for _ in range(3):
+            vals = [
+                "?" if rng.random() < 0.15 else f"{v:.6g}"
+                for v in rng.standard_normal(L)
+            ]
+            dims.append(",".join(vals))
+        lines.append(":".join(dims) + f":class{i % 4}")
+    p = tmp_path / "Big_TRAIN.ts"
+    p.write_text("\n".join(lines) + "\n")
+
+    py_seqs, py_labels = uea._parse_ts_py(str(p))
+    nat = _native.parse_ts(str(p))
+    if nat is None:
+        pytest.skip("native parser unavailable (no g++?)")
+    nat_seqs, nat_labels = nat
+    assert nat_labels == py_labels
+    assert len(nat_seqs) == len(py_seqs)
+    for a, b in zip(nat_seqs, py_seqs):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
 def test_synthetic_separable():
     X, y = synthetic.classification_sequences(N=60, num_classes=2,
                                               difficulty=0.5)
