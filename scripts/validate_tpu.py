@@ -97,13 +97,18 @@ def job_goursat():
     err = np.max(np.abs(got - want) / (np.abs(want) + 1e-6))
     print(f"goursat parity rel-err {err:.2e}")
 
+    pallas_fn = jax.jit(
+        lambda x: goursat_corner_pallas(
+            goursat.skewpad_diag_major(x), S, T, block_pairs=8)
+    )
+
     def run_pallas(i):
-        s = skew_fn(inc * (1 + 1e-4 * i))
-        return np.asarray(goursat_corner_pallas(s, S, T, block_pairs=8))
+        return np.asarray(pallas_fn(inc * (1 + 1e-4 * i)))
 
     def run_scan(i):
         return np.asarray(corner_fn(inc * (1 + 1e-4 * i)))
 
+    run_pallas(0)
     run_scan(0)
     tp = _median_time(run_pallas)
     ts = _median_time(run_scan)
@@ -111,10 +116,38 @@ def job_goursat():
           f"({B} pairs, {S+1}x{T+1} grid) -> {ts/tp:.2f}x")
 
 
+def job_goursat_sweep():
+    """block_pairs sweep for the wavefront kernel (each size = one Mosaic
+    compile through the relay — expect ~1 min per size)."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops import goursat
+    from gpsig_tpu.ops.pallas.goursat_pallas import goursat_corner_pallas
+
+    B, S, T = 512, 99, 99
+    rng = np.random.default_rng(2)
+    inc = jnp.asarray(0.05 * rng.standard_normal((B, S, T)), jnp.float32)
+    corner_fn = jax.jit(goursat.goursat_corner)
+    want = np.asarray(corner_fn(inc))
+    ts = _median_time(lambda i: np.asarray(corner_fn(inc * (1 + 1e-4 * i))))
+    print(f"scan {ts*1e3:.1f} ms")
+    for bb in (64, 256, 512):
+        fn = jax.jit(
+            lambda x, bb=bb: goursat_corner_pallas(
+                goursat.skewpad_diag_major(x), S, T, block_pairs=bb)
+        )
+        got = np.asarray(fn(inc))
+        err = np.max(np.abs(got - want) / (np.abs(want) + 1e-6))
+        t = _median_time(lambda i: np.asarray(fn(inc * (1 + 1e-4 * i))))
+        print(f"pallas bb={bb}: {t*1e3:.1f} ms (err {err:.1e}) "
+              f"-> {ts/t:.2f}x vs scan")
+
+
 if __name__ == "__main__":
     job = sys.argv[1] if len(sys.argv) > 1 else "fused_fwd"
     t0 = time.time()
     {"fused_fwd": job_fused_fwd,
      "fused_bwd": job_fused_bwd,
-     "goursat": job_goursat}[job]()
+     "goursat": job_goursat,
+     "goursat_sweep": job_goursat_sweep}[job]()
     print(f"total {time.time()-t0:.1f} s")

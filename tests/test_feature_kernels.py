@@ -185,3 +185,27 @@ def test_pde_kernel_object():
     # grads flow through the adjoint
     g = jax.grad(lambda k: jnp.sum(k.K(jnp.asarray(X))))(kern)
     assert np.all(np.isfinite(np.asarray(g.raw_lengthscales)))
+
+
+def test_pde_normalization_rough_paths_stable():
+    """Regression: at dyadic_order=0 on rough paths the FD diag can go
+    NEGATIVE; normalization used to divide by ~1e-15, giving 1e15-scale
+    entries and NaN float32 hyper-gradients. The diag floor at 1.0
+    (k(x,x) = ||S(x)||² >= 1 for the true kernel) keeps both finite."""
+    rng = np.random.default_rng(0)
+    X = jnp.asarray((0.2 * rng.standard_normal((40, 30, 3))).cumsum(1),
+                    jnp.float32)
+    kern = UntruncatedSignatureKernel.create(
+        3, lengthscales=1.0, normalization=True, dtype=jnp.float32)
+    dx = np.asarray(kern._diag_raw(kern._scaled(X)))
+    assert dx.min() < 1.0  # the scenario actually triggers
+    K = np.asarray(kern.K(X))
+    assert np.all(np.isfinite(K)) and np.max(np.abs(K)) < 1e3
+    g = jax.grad(lambda k: jnp.sum(k.K(X)))(kern).raw_lengthscales
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # typo'd engine is rejected, not silently accepted
+    bad = UntruncatedSignatureKernel.create(3, engine="pallsa",
+                                            dtype=jnp.float32)
+    with pytest.raises(ValueError, match="unknown goursat engine"):
+        bad.K(X[:4])

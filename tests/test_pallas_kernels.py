@@ -138,6 +138,22 @@ def test_goursat_pallas_matches_scan(shape):
     )
 
 
+def test_goursat_corner_fast_batch_and_grad():
+    """Primal dispatch (interpret Pallas) + AD routing through the scan."""
+    from gpsig_tpu.ops import goursat
+
+    rng = np.random.default_rng(9)
+    inc = jnp.asarray(0.2 * rng.standard_normal((3, 4, 6, 9)), jnp.float32)
+    got = goursat._corner_fast_impl(inc, interpret=True)
+    want = goursat.goursat_corner(inc)
+    assert got.shape == (3, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5)
+
+    g1 = jax.grad(lambda m: jnp.sum(goursat.goursat_corner_fast(m)))(inc)
+    g2 = jax.grad(lambda m: jnp.sum(goursat.goursat_corner(m)))(inc)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+
 def test_skewpad_diag_major_matches_transpose():
     from gpsig_tpu.ops import goursat
 
