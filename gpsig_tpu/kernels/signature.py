@@ -156,8 +156,6 @@ class SignatureKernel:
         return sigops.incremental_gram(G) if self.difference else G
 
     def _use_pallas(self):
-        if self.order != 1:
-            return False
         if self.engine == "pallas":
             return True
         if self.engine == "auto":
@@ -168,7 +166,7 @@ class SignatureKernel:
 
     def _fused_base_kind(self):
         """rbf flag when the fully-fused Gram kernel applies, else None."""
-        if not (self._use_pallas() and self.difference
+        if not (self._use_pallas() and self.order == 1 and self.difference
                 and self.num_levels <= 7):
             return None
         if isinstance(self.base, sk.RBFBase):
@@ -186,10 +184,15 @@ class SignatureKernel:
         if self._use_pallas() and (
             nb >= self._FUSED_MIN_PAIRS or self.engine == "pallas"
         ):
-            from gpsig_tpu.ops.pallas.sig_gram import sig_gram_levels
+            from gpsig_tpu.ops.pallas import sig_gram
 
             flat = M.reshape((-1,) + M.shape[-2:])
-            out = sig_gram_levels(flat, self.num_levels)
+            if self.order == 1:
+                out = sig_gram.sig_gram_levels(flat, self.num_levels)
+            else:
+                out = sig_gram.sig_gram_levels_ho(
+                    flat, self.num_levels, self.order
+                )
             return out.reshape((self.num_levels + 1,) + batch)
         return sigops.signature_kern(M, self.num_levels, self.order)
 

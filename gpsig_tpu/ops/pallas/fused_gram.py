@@ -44,6 +44,21 @@ from gpsig_tpu.ops import signature as sigops
 _LANE = 128
 _LEVROWS = 8  # output rows reserved for level sums (num_levels+1 <= 8)
 
+# MXU precision for the in-kernel matmuls (triangular-ones cumsums, 0/1
+# expansion/difference operators, and DP products). Mosaic's dot lowering
+# supports only DEFAULT (1-pass bf16, ~4e-3 rel err on f32 operands) and
+# HIGHEST (exact f32 via multi-pass) — Precision.HIGH raises
+# NotImplementedError. HIGHEST is the default; GPSIG_MXU_PRECISION=default
+# is an opt-in throughput mode for training runs that tolerate bf16 noise
+# (process-level constant: read once at import so jit caches stay
+# coherent).
+import os as _os
+
+_MXU_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("GPSIG_MXU_PRECISION", "highest").lower()]
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
@@ -108,7 +123,7 @@ def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx):
     for dd in range(d):
         xs = x_ref[0, :, dd * bx : (dd + 1) * bx]  # [Lp, bx]
         xw = jnp.dot(xs, Eb, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST).astype(dt)
+                     precision=_MXU_PREC).astype(dt)
         xcols.append(xw)
         nx = nx + xw * xw
 
@@ -124,10 +139,10 @@ def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx):
         Knext = _kcol_wide(xcols, nx, y_ref, jj + 1, d, rbf, bx)
         colD = Knext - Kprev  # [Lp, W]
         Mcol = jnp.dot(Dm, colD, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST).astype(dt)
+                       precision=_MXU_PREC).astype(dt)
         if nl >= 2:
             E = jnp.dot(SL, C, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST).astype(dt)
+                        precision=_MXU_PREC).astype(dt)
         As = [Mcol]
         for m in range(2, nl + 1):
             As.append(Mcol * E[:, (m - 2) * W : (m - 1) * W])
@@ -176,11 +191,11 @@ def _diag_kernel(xt_ref, out_ref, *, L, d, num_levels, rbf):
         Knext = kcol_diag(jj + 1)
         colD = Knext - Kprev
         Mcol = jnp.dot(Dm, colD, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST).astype(dt)
+                       precision=_MXU_PREC).astype(dt)
         nl = num_levels
         if nl >= 2:
             E = jnp.dot(SL, C, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST).astype(dt)
+                    precision=_MXU_PREC).astype(dt)
         levrow = jax.lax.broadcasted_iota(jnp.int32, (_LEVROWS, _LANE), 0)
         As = [Mcol]
         for m in range(2, nl + 1):
@@ -436,7 +451,7 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
     Lp = x_ref.shape[1]
     W = bx * _LANE
     nl = num_levels
-    hp = jax.lax.Precision.HIGHEST
+    hp = _MXU_PREC
 
     er = jax.lax.broadcasted_iota(jnp.int32, (bx, W), 0)
     ec = jax.lax.broadcasted_iota(jnp.int32, (bx, W), 1)

@@ -27,8 +27,13 @@ recompute + reverse sweep, all in VMEM):
 Zero-padding M to (8, 128)-aligned shapes is exact: zero increments do not
 change the recursion (same trick as the repeat-last-observation padding).
 
-Currently order=1 (the reference benchmarks' default); higher orders fall
-back to the XLA path in the kernel layer.
+Order >= 2 (the reference's higher-order correction,
+``signature_kern_higher_order``) runs the same way: the run-length-indexed
+DP states D_{r,s} (see ``gpsig_tpu/ops/signature.py``) are [L1, L2] VMEM
+arrays and every exclusive cumsum is a triangular matmul — row cumsums
+``X·SU``, column cumsums ``SL·X``, the double cumsum ``SL·X·SU``. Its
+backward recomputes through the (mathematically identical) XLA recursion;
+the fused adjoint kernel exists for order 1 (the benchmarks' hot path).
 """
 
 from __future__ import annotations
@@ -40,7 +45,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gpsig_tpu.ops import signature as sigops
+
 _LANE = 128
+
+# See fused_gram.py: HIGHEST (exact f32) by default; GPSIG_MXU_PRECISION
+# selects the 1-pass bf16 throughput mode (Mosaic supports no 3-pass HIGH).
+from gpsig_tpu.ops.pallas.fused_gram import _MXU_PREC
 
 
 def _round_up(x, m):
@@ -66,10 +77,10 @@ def _fwd_kernel(m_ref, out_ref, *, num_levels):
     for m in range(2, num_levels + 1):
         E = jnp.dot(
             jnp.dot(SL, A, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST),
+                  precision=_MXU_PREC),
             SU,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MXU_PREC,
         ).astype(dt)
         A = M * E
         out = out + jnp.where(lane == m, jnp.sum(A), 0.0)
@@ -90,10 +101,10 @@ def _bwd_kernel(m_ref, w_ref, gm_ref, *, num_levels):
     for m in range(2, num_levels + 1):
         E = jnp.dot(
             jnp.dot(SL, A, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST),
+                  precision=_MXU_PREC),
             SU,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MXU_PREC,
         ).astype(dt)
         Es.append(E)
         A = M * E
@@ -106,13 +117,66 @@ def _bwd_kernel(m_ref, w_ref, gm_ref, *, num_levels):
         inner = M * gA
         gA = jnp.dot(
             jnp.dot(SL.T, inner, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST),
+                  precision=_MXU_PREC),
             SU.T,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MXU_PREC,
         ).astype(dt) + w[0, m - 1]
     gM = gM + gA  # A_1 = M
     gm_ref[0] = gM
+
+
+def _fwd_kernel_ho(m_ref, out_ref, *, num_levels, order):
+    """Higher-order forward: run-length DP states D[r][s] in VMEM.
+
+    Mirrors ``gpsig_tpu/ops/signature.py::_higher_order`` with every
+    exclusive cumsum as a triangular matmul (MXU)."""
+    M = m_ref[0]  # [L1, L2]
+    L1, L2 = M.shape
+    dt = M.dtype
+    hp = _MXU_PREC
+    SL = _tri(L1, dt, strictly_lower=True)
+    SU = _tri(L2, dt, strictly_lower=False)
+
+    def msl(A, B):
+        return jnp.dot(A, B, preferred_element_type=jnp.float32,
+                       precision=hp).astype(dt)
+
+    def tree_sum(items):
+        acc = None
+        for it in items:
+            if it is None:
+                continue
+            acc = it if acc is None else acc + it
+        return acc
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    out = jnp.where(lane == 0, jnp.asarray(1.0, dt), 0.0)
+    out = out + jnp.where(lane == 1, jnp.sum(M), 0.0)
+    p = min(order, num_levels)
+    D = [[None] * p for _ in range(p)]
+    D[0][0] = M
+    for m in range(2, num_levels + 1):
+        R = min(p, m)
+        Dn = [[None] * p for _ in range(p)]
+        total = tree_sum(d for row in D for d in row)
+        Dn[0][0] = M * msl(msl(SL, total), SU)
+        for r in range(1, R):
+            row = tree_sum(D[r - 1])
+            if row is not None:
+                Dn[r][0] = (M / (r + 1)) * msl(row, SU)
+            col = tree_sum(D[s][r - 1] for s in range(p))
+            if col is not None:
+                Dn[0][r] = (M / (r + 1)) * msl(SL, col)
+        for r in range(1, R):
+            for s in range(1, R):
+                if D[r - 1][s - 1] is not None:
+                    Dn[r][s] = (M / ((r + 1) * (s + 1))) * D[r - 1][s - 1]
+        D = Dn
+        out = out + jnp.where(
+            lane == m, jnp.sum(tree_sum(d for row in D for d in row)), 0.0
+        )
+    out_ref[0] = out
 
 
 def _pad_m(M):
@@ -186,3 +250,55 @@ def _vjp_bwd(num_levels, interpret, M, w):
 
 
 sig_gram_levels.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def sig_gram_levels_ho(M, num_levels, order, interpret=False):
+    """Per-level signature kernels at order >= 2 from increment matrices.
+
+    M: [B, L1, L2] → [num_levels+1, B] (level 0 = 1). Forward is the fused
+    VMEM kernel; backward recomputes through the XLA recursion (exact)."""
+    return _sig_gram_ho_fwd_impl(M, num_levels, order, interpret)
+
+
+def _sig_gram_ho_fwd_impl(M, num_levels, order, interpret):
+    if num_levels + 1 > _LANE:
+        raise ValueError("num_levels must be < 128")
+    B = M.shape[0]
+    Mp = _pad_m(M)
+    _, L1, L2 = Mp.shape
+    p = min(order, num_levels)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_ho, num_levels=num_levels,
+                          order=order),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L1, L2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, _LANE), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, _LANE), M.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * max(num_levels - 1, 0) * (p + 1)
+            * (L1 * L1 * L2 + L1 * L2 * L2),
+            bytes_accessed=4 * B * L1 * L2,
+            transcendentals=0,
+        ),
+    )(Mp)
+    return out[:, 0, : num_levels + 1].T  # [nl+1, B]
+
+
+def _vjp_ho_fwd(M, num_levels, order, interpret):
+    return _sig_gram_ho_fwd_impl(M, num_levels, order, interpret), M
+
+
+def _vjp_ho_bwd(num_levels, order, interpret, M, w):
+    _, vjp = jax.vjp(
+        lambda m: sigops.signature_kern(m, num_levels, order), M
+    )
+    return vjp(w.astype(M.dtype))
+
+
+sig_gram_levels_ho.defvjp(_vjp_ho_fwd, _vjp_ho_bwd)

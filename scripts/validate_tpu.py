@@ -143,11 +143,35 @@ def job_goursat_sweep():
               f"-> {ts/t:.2f}x vs scan")
 
 
+def job_sig_gram_ho():
+    """Higher-order per-pair DP kernel: compiled parity + throughput."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops import signature as sigops
+    from gpsig_tpu.ops.pallas.sig_gram import sig_gram_levels_ho
+
+    B, L, nl, order = 256, 50, 5, 3
+    rng = np.random.default_rng(4)
+    M = jnp.asarray(0.2 * rng.standard_normal((B, L - 1, L - 1)),
+                    jnp.float32)
+    fn = jax.jit(lambda m: sig_gram_levels_ho(m, nl, order))
+    ref = jax.jit(lambda m: sigops.signature_kern(m, nl, order=order))
+    got = np.asarray(fn(M))
+    want = np.asarray(ref(M))
+    err = np.max(np.abs(got - want) / (np.abs(want) + 1e-6))
+    print(f"sig_gram_ho parity rel-err {err:.2e}")
+    tp = _median_time(lambda i: np.asarray(fn(M * (1 + 1e-4 * i))))
+    tx = _median_time(lambda i: np.asarray(ref(M * (1 + 1e-4 * i))))
+    print(f"pallas {tp*1e3:.1f} ms vs xla {tx*1e3:.1f} ms "
+          f"({B} pairs, L={L}, nl={nl}, order={order}) -> {tx/tp:.2f}x")
+
+
 if __name__ == "__main__":
     job = sys.argv[1] if len(sys.argv) > 1 else "fused_fwd"
     t0 = time.time()
     {"fused_fwd": job_fused_fwd,
      "fused_bwd": job_fused_bwd,
      "goursat": job_goursat,
-     "goursat_sweep": job_goursat_sweep}[job]()
+     "goursat_sweep": job_goursat_sweep,
+     "sig_gram_ho": job_sig_gram_ho}[job]()
     print(f"total {time.time()-t0:.1f} s")
