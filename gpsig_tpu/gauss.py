@@ -16,11 +16,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import scipy as jsp
 
+from gpsig_tpu.config import precise_linalg
+
 
 def _is_diag(q_sqrt):
     return q_sqrt.ndim == 2
 
 
+@precise_linalg
 def gauss_kl(q_mu, q_sqrt, K=None, K_chol=None):
     """KL[q || p] summed over latents.
 
@@ -71,6 +74,7 @@ def C_logdiag_sum(L):
     return jnp.sum(jnp.log(jnp.abs(d)))
 
 
+@precise_linalg
 def conditional(
     Kmn,
     Kmm,

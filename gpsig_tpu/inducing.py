@@ -74,11 +74,12 @@ class InducingTensors:
         return levels * W[:, :, None]  # [nl, T, N]
 
     def Kuu(self, kernel, jitter=None):
-        jitter = default_jitter() if jitter is None else jitter
         levels = kernel.K_tens(
             self.raw_Z, increments=self.increments, return_levels=True
         )  # [nl, T, T]
         K = jnp.sum(self._apply_W(levels, side=2), axis=0)
+        if jitter is None:
+            jitter = default_jitter(K.dtype)
         return K + jitter * jnp.eye(K.shape[-1], dtype=K.dtype)
 
     def Kuf(self, kernel, X):
@@ -104,8 +105,9 @@ class InducingSequences:
         return self.raw_Z.shape[0]
 
     def Kuu(self, kernel, jitter=None):
-        jitter = default_jitter() if jitter is None else jitter
         K = kernel.K(self.raw_Z)
+        if jitter is None:
+            jitter = default_jitter(K.dtype)
         return K + jitter * jnp.eye(K.shape[-1], dtype=K.dtype)
 
     def Kuf(self, kernel, X):
@@ -114,11 +116,12 @@ class InducingSequences:
     def covariances(self, kernel, X, jitter=None):
         """(Kuu, Kuf) in one pass — the Z-side diagonal is computed once
         (the reference's combined-covariance helpers, SURVEY.md §2.1)."""
-        jitter = default_jitter() if jitter is None else jitter
         if hasattr(kernel, "seq_covariances"):
             Kuu, Kuf = kernel.seq_covariances(self.raw_Z, X)
         else:
             Kuu, Kuf = kernel.K(self.raw_Z), kernel.K(self.raw_Z, X)
+        if jitter is None:
+            jitter = default_jitter(Kuu.dtype)
         return (
             Kuu + jitter * jnp.eye(Kuu.shape[-1], dtype=Kuu.dtype),
             Kuf,

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from jax import scipy as jsp
 from flax import struct
 
-from gpsig_tpu.config import default_jitter
+from gpsig_tpu.config import default_jitter, precise_linalg
 from gpsig_tpu.likelihoods import Gaussian
 
 
@@ -26,13 +26,14 @@ class GPR:
         return cls(kernel=kernel,
                    likelihood=Gaussian.create(noise_variance, dtype))
 
+    @precise_linalg
     def log_marginal_likelihood(self, X, Y):
         """log N(Y | 0, K + σ²I), summed over output columns."""
         K = self.kernel.K(X)
         N = K.shape[0]
-        Ky = K + (self.likelihood.variance + default_jitter()) * jnp.eye(
-            N, dtype=K.dtype
-        )
+        Ky = K + (
+            self.likelihood.variance + default_jitter(K.dtype)
+        ) * jnp.eye(N, dtype=K.dtype)
         L = jnp.linalg.cholesky(Ky)
         Y = Y.reshape(N, -1)
         alpha = jsp.linalg.solve_triangular(L, Y, lower=True)
@@ -43,12 +44,13 @@ class GPR:
             - 0.5 * N * C * jnp.log(2.0 * jnp.pi)
         )
 
+    @precise_linalg
     def predict_f(self, X, Y, Xnew, full_cov=False):
         K = self.kernel.K(X)
         N = K.shape[0]
-        Ky = K + (self.likelihood.variance + default_jitter()) * jnp.eye(
-            N, dtype=K.dtype
-        )
+        Ky = K + (
+            self.likelihood.variance + default_jitter(K.dtype)
+        ) * jnp.eye(N, dtype=K.dtype)
         L = jnp.linalg.cholesky(Ky)
         Kmn = self.kernel.K(X, Xnew)  # [N, N*]
         A = jsp.linalg.solve_triangular(L, Kmn, lower=True)

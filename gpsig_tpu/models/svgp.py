@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from gpsig_tpu import gauss
-from gpsig_tpu.config import default_jitter
+from gpsig_tpu.config import precise_linalg
 
 
 @struct.dataclass
@@ -61,11 +61,10 @@ class SVGP:
         return jnp.tril(self.q_sqrt)
 
     def _covariances(self, X):
+        # jitter=None → the inducing object resolves a dtype-aware default
         if hasattr(self.inducing, "covariances"):
-            return self.inducing.covariances(
-                self.kernel, X, default_jitter()
-            )
-        Kuu = self.inducing.Kuu(self.kernel, default_jitter())
+            return self.inducing.covariances(self.kernel, X, None)
+        Kuu = self.inducing.Kuu(self.kernel, None)
         Kuf = self.inducing.Kuf(self.kernel, X)
         return Kuu, Kuf
 
@@ -75,6 +74,7 @@ class SVGP:
         elementwise conditional — SURVEY.md §2.2)."""
         return getattr(self.inducing, "kuu_is_identity", False)
 
+    @precise_linalg
     def _identity_conditional(self, Kuf, Knn):
         q_sqrt = self._tril_q_sqrt()
         mean = Kuf.T @ self.q_mu
@@ -86,6 +86,7 @@ class SVGP:
         var = Knn[None, :] - jnp.sum(Kuf**2, axis=0)[None, :] + extra
         return mean, var.T
 
+    @precise_linalg
     def predict_f(self, X, full_cov=False):
         if self._kuu_identity and not full_cov:
             Kuf = self.inducing.Kuf(self.kernel, X)
@@ -104,9 +105,10 @@ class SVGP:
         if self.whiten:
             return gauss.gauss_kl(self.q_mu, q_sqrt)
         if Kuu is None:
-            Kuu = self.inducing.Kuu(self.kernel, default_jitter())
+            Kuu = self.inducing.Kuu(self.kernel, None)
         return gauss.gauss_kl(self.q_mu, q_sqrt, K=Kuu)
 
+    @precise_linalg
     def elbo(self, X, Y, num_data=None, key=None):
         """Evidence lower bound on a (mini)batch.
 

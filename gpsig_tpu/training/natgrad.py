@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 from jax import scipy as jsp
 
+from gpsig_tpu.config import precise_linalg
+
 
 def _elbo_mean_cov(model, mu, cov_or_s2, X, Y, num_data, key, diag):
     if diag:
@@ -47,6 +49,7 @@ def _elbo_mean_cov(model, mu, cov_or_s2, X, Y, num_data, key, diag):
 _BACKOFF = (1.0, 0.25, 0.0625, 0.015625)
 
 
+@precise_linalg
 def gaussian_natgrad_update(mu, S, g_mu, g_S, gamma, jitter=1e-8,
                             diag=False):
     """Apply the natural-gradient step in (μ, S); returns (μ', q_sqrt').

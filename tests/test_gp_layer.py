@@ -231,3 +231,53 @@ def test_svgp_classification_trains():
     p, _ = model.predict_y(jnp.asarray(X))
     acc = float((np.asarray(p).argmax(1) == Y).mean())
     assert acc >= 0.9
+
+
+def test_gp_layer_pins_matmul_precision():
+    """Regression: on TPU the default matmul precision is one bf16 pass,
+    which also drives the blocked matmuls inside cholesky/triangular_solve.
+    The GP layer differences nearly-equal quantities through those solves,
+    so it must trace with HIGHEST precision regardless of the global
+    default (cf. config.precise_linalg)."""
+    M, C, B = 6, 2, 4
+    q_mu = jnp.zeros((M, C))
+    q_sqrt = jnp.broadcast_to(jnp.eye(M), (C, M, M))
+    Kmm = jnp.eye(M) + 0.1
+    Kmn = jnp.ones((M, B)) * 0.3
+    Knn = jnp.ones((B,))
+
+    with jax.default_matmul_precision("bfloat16"):
+        jaxpr = str(jax.make_jaxpr(gauss.conditional)(
+            Kmn, Kmm, Knn, q_mu, q_sqrt))
+        jaxpr_kl = str(jax.make_jaxpr(gauss.gauss_kl)(
+            q_mu, q_sqrt, Kmm))
+    # conditional has matmuls/einsums — they must be pinned HIGHEST
+    assert "Precision.HIGHEST" in jaxpr
+    # neither may carry an unpinned (DEFAULT/None-precision) dot
+    for rep, name in ((jaxpr, "conditional"), (jaxpr_kl, "gauss_kl")):
+        assert "Precision.DEFAULT" not in rep, name
+        assert "precision=None" not in rep, name
+
+
+def test_f32_jitter_keeps_inducing_tensor_kuu_factorisable():
+    """Regression: inducing-tensor Grams are structurally rank-deficient
+    (most eigenvalues < 1e-6 even in f64 — low-d factors are nearly
+    collinear), so GPflow's 1e-6 jitter sits below f32 rounding error and
+    chol(Kuu) NaN'd on TPU. default_jitter must be dtype-aware."""
+    assert cfg.default_jitter(jnp.float32) >= 1e-4
+    assert cfg.default_jitter(jnp.float64) == cfg.settings.jitter
+    assert cfg.default_jitter() == cfg.settings.jitter
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(_paths(rng, 40, 20, 2), jnp.float32)
+    kern = SignatureRBF(2, 3, lengthscales=1.0, order=1,
+                        normalization=True, dtype=jnp.float32)
+    feat = make_inducing_tensors_from_data(
+        jax.random.PRNGKey(0), X, num_tensors=64, num_levels=3,
+        num_features=2, increments=True,
+    )
+    Kuu = np.asarray(feat.Kuu(kern), np.float64)
+    ev = np.linalg.eigvalsh(Kuu)
+    assert ev.min() >= 0.5 * cfg.default_jitter(jnp.float32)
+    L = np.asarray(jnp.linalg.cholesky(feat.Kuu(kern)))
+    assert np.all(np.isfinite(L))
