@@ -1,10 +1,12 @@
 """Multi-chip: sharded SVI, Gram tiling, sequence-parallel PDE, NUTS chains.
 
-The distributed layer the reference never had (SURVEY.md §2.4). On a
-1-chip machine this runs on 8 virtual CPU devices:
+The distributed layer the reference never had (SURVEY.md §2.4). By default
+this runs on 8 virtual CPU devices (the multi-chip semantics need >= 2
+devices, and this machine has one chip); pass --device to use the real
+device mesh on an actual multi-chip host:
 
-    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python examples/04_multichip.py --cpu
+    python examples/04_multichip.py            # 8 virtual CPU devices
+    python examples/04_multichip.py --device   # real device mesh
 """
 
 import sys
@@ -17,7 +19,7 @@ import numpy as np
 def main():
     import os
 
-    if "--cpu" in sys.argv:
+    if "--device" not in sys.argv:
         os.environ.setdefault(
             "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
         )

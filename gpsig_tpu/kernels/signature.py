@@ -202,6 +202,18 @@ class SignatureKernel:
     _FUSED_MIN_PAIRS = 16384
     _FUSED_MIN_DIAG = 512
 
+    def _mxu_mode(self, X):
+        """In-kernel matmul mode for the fused engines: compiled f32 on an
+        accelerator gets 'split' (two 1-pass bf16 matmuls on a hi/lo
+        decomposition — ~1e-5 scaled error, measured 1.6× faster on chip
+        than 6-pass HIGHEST); otherwise None → env GPSIG_MXU_PRECISION
+        (default 'highest', exact f32)."""
+        import jax
+
+        if X.dtype == jnp.float32 and jax.default_backend() != "cpu":
+            return "split"
+        return None
+
     def _K_levels(self, X, Y):
         rbf = self._fused_base_kind()
         if rbf is not None and (
@@ -210,7 +222,8 @@ class SignatureKernel:
         ):
             from gpsig_tpu.ops.pallas.fused_gram import fused_gram_levels
 
-            return fused_gram_levels(X, Y, self.num_levels, rbf)
+            return fused_gram_levels(X, Y, self.num_levels, rbf,
+                                     mxu=self._mxu_mode(X))
         M = self._increment_matrix(X, Y)
         return self._recursion(M)
 
@@ -221,7 +234,8 @@ class SignatureKernel:
         ):
             from gpsig_tpu.ops.pallas.fused_gram import fused_diag_levels
 
-            return fused_diag_levels(X, self.num_levels, rbf)
+            return fused_diag_levels(X, self.num_levels, rbf,
+                                     mxu=self._mxu_mode(X))
         M = self._increment_matrix_diag(X)
         return self._recursion(M)
 

@@ -47,17 +47,57 @@ _LEVROWS = 8  # output rows reserved for level sums (num_levels+1 <= 8)
 # MXU precision for the in-kernel matmuls (triangular-ones cumsums, 0/1
 # expansion/difference operators, and DP products). Mosaic's dot lowering
 # supports only DEFAULT (1-pass bf16, ~4e-3 rel err on f32 operands) and
-# HIGHEST (exact f32 via multi-pass) — Precision.HIGH raises
-# NotImplementedError. HIGHEST is the default; GPSIG_MXU_PRECISION=default
-# is an opt-in throughput mode for training runs that tolerate bf16 noise
-# (process-level constant: read once at import so jit caches stay
-# coherent).
+# HIGHEST (exact f32 via 6 passes) — Precision.HIGH raises
+# NotImplementedError. Every matmul here has one *structural* operand
+# (0/±1 triangular/bidiagonal/expansion matrices — exact in bf16), so a
+# third mode exists that Mosaic can't express natively: 'split' decomposes
+# the data operand a = hi + lo (both bf16, lo carrying the next 8 mantissa
+# bits) and runs TWO 1-pass matmuls, giving ~2^-16 relative error — close
+# to f32 — at a third of HIGHEST's MXU cycles. These per-pair DP matmuls
+# are M=K=Lp≈L shaped (well under the 128×128 systolic array), so the
+# kernel is pass-count-bound and 'split' is the throughput mode of choice.
+# Modes: 'highest' (exact f32), 'split' (~2e-5 rel err), 'default'
+# (1-pass bf16, ~4e-3). Env GPSIG_MXU_PRECISION sets the process default;
+# the public entry points also take an explicit ``mxu=`` argument.
 import os as _os
 
-_MXU_PREC = {
-    "default": jax.lax.Precision.DEFAULT,
-    "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("GPSIG_MXU_PRECISION", "highest").lower()]
+_MXU_MODES = ("highest", "split", "default")
+
+
+def _default_mxu():
+    mode = _os.environ.get("GPSIG_MXU_PRECISION", "highest").lower()
+    if mode not in _MXU_MODES:
+        raise ValueError(
+            f"GPSIG_MXU_PRECISION={mode!r}; expected one of {_MXU_MODES}"
+        )
+    return mode
+
+
+def _mxu_dot(a, b, mode, data):
+    """Matmul with one structural 0/±1 operand (exact in bfloat16).
+
+    data: 'left'|'right' — which operand carries real values (the other is
+    a 0/±1 matrix). Returns float32 (the MXU accumulates in f32 in every
+    mode; callers .astype back to the kernel dtype)."""
+    if mode == "split":
+        v = a if data == "left" else b
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(v.dtype)).astype(jnp.bfloat16)
+        if data == "left":
+            s = b.astype(jnp.bfloat16)
+            return jnp.dot(hi, s, preferred_element_type=jnp.float32) + (
+                jnp.dot(lo, s, preferred_element_type=jnp.float32)
+            )
+        s = a.astype(jnp.bfloat16)
+        return jnp.dot(s, hi, preferred_element_type=jnp.float32) + (
+            jnp.dot(s, lo, preferred_element_type=jnp.float32)
+        )
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if mode == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 
 
 def _round_up(x, m):
@@ -103,7 +143,8 @@ def _dmat(Lp, L, dtype):
     return (up - diag) * mask
 
 
-def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx):
+def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx,
+                  mxu):
     """x_ref: [1, Lp, d·bx] (packed X block, rows pre-padded to Lp);
     y_ref: [L, d, 128]; out_ref: [bx, _LEVROWS, 128]."""
     dt = x_ref.dtype
@@ -122,8 +163,7 @@ def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx):
     nx = jnp.zeros((Lp, W), dt)
     for dd in range(d):
         xs = x_ref[0, :, dd * bx : (dd + 1) * bx]  # [Lp, bx]
-        xw = jnp.dot(xs, Eb, preferred_element_type=jnp.float32,
-                     precision=_MXU_PREC).astype(dt)
+        xw = _mxu_dot(xs, Eb, mxu, "left").astype(dt)
         xcols.append(xw)
         nx = nx + xw * xw
 
@@ -138,11 +178,9 @@ def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx):
         Kprev, C, acc = carry
         Knext = _kcol_wide(xcols, nx, y_ref, jj + 1, d, rbf, bx)
         colD = Knext - Kprev  # [Lp, W]
-        Mcol = jnp.dot(Dm, colD, preferred_element_type=jnp.float32,
-                       precision=_MXU_PREC).astype(dt)
+        Mcol = _mxu_dot(Dm, colD, mxu, "right").astype(dt)
         if nl >= 2:
-            E = jnp.dot(SL, C, preferred_element_type=jnp.float32,
-                        precision=_MXU_PREC).astype(dt)
+            E = _mxu_dot(SL, C, mxu, "right").astype(dt)
         As = [Mcol]
         for m in range(2, nl + 1):
             As.append(Mcol * E[:, (m - 2) * W : (m - 1) * W])
@@ -160,7 +198,7 @@ def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx):
         out_ref[b] = acc[:, b * _LANE : (b + 1) * _LANE]
 
 
-def _diag_kernel(xt_ref, out_ref, *, L, d, num_levels, rbf):
+def _diag_kernel(xt_ref, out_ref, *, L, d, num_levels, rbf, mxu):
     """Self-pair variant: both sides per-lane. xt_ref: [Lp, d, 128]
     (rows pre-padded to Lp)."""
     dt = xt_ref.dtype
@@ -190,12 +228,10 @@ def _diag_kernel(xt_ref, out_ref, *, L, d, num_levels, rbf):
         Kprev, C, acc = carry
         Knext = kcol_diag(jj + 1)
         colD = Knext - Kprev
-        Mcol = jnp.dot(Dm, colD, preferred_element_type=jnp.float32,
-                       precision=_MXU_PREC).astype(dt)
+        Mcol = _mxu_dot(Dm, colD, mxu, "right").astype(dt)
         nl = num_levels
         if nl >= 2:
-            E = jnp.dot(SL, C, preferred_element_type=jnp.float32,
-                    precision=_MXU_PREC).astype(dt)
+            E = _mxu_dot(SL, C, mxu, "right").astype(dt)
         levrow = jax.lax.broadcasted_iota(jnp.int32, (_LEVROWS, _LANE), 0)
         As = [Mcol]
         for m in range(2, nl + 1):
@@ -255,17 +291,22 @@ def _xla_reference_diag(X, num_levels, rbf):
     return sigops.signature_kern(M, num_levels, order=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def fused_gram_levels(X, Y, num_levels, rbf=True, interpret=False, bx=8):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_gram_levels(X, Y, num_levels, rbf=True, interpret=False, bx=8,
+                      mxu=None):
     """[nl+1, N1, N2] per-level signature kernels, fully fused.
 
     X: [N1, L, d], Y: [N2, L, d] — pre-scaled sequences (order 1,
     difference=True semantics). num_levels <= 7. ``bx`` = x-sequences per
-    grid step (wider MXU matmuls; VMEM budget ~ bx·(nl-1)·128·L·4B)."""
-    return _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx)
+    grid step (wider MXU matmuls; VMEM budget ~ bx·(nl-1)·128·L·4B).
+    ``mxu``: 'highest' | 'split' | 'default' in-kernel matmul mode (None →
+    env GPSIG_MXU_PRECISION, default 'highest'); see module docstring."""
+    return _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx, mxu)
 
 
-def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8):
+def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8, mxu=None):
+    if mxu is None:
+        mxu = _default_mxu()
     if num_levels + 1 > _LEVROWS:
         raise ValueError("fused kernel supports num_levels <= 7")
     N1, L, d = X.shape
@@ -283,7 +324,8 @@ def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8):
         Yt = jnp.pad(Yt, ((0, 0), (0, 0), (0, N2p - N2)))
     out = pl.pallas_call(
         functools.partial(
-            _fused_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf, bx=bx
+            _fused_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf, bx=bx,
+            mxu=mxu,
         ),
         grid=(N1p // bx, N2p // _LANE),
         in_specs=[
@@ -308,21 +350,21 @@ def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8):
     return jnp.moveaxis(out[:N1, : num_levels + 1, :N2], 1, 0)
 
 
-def _fused_vjp_fwd(X, Y, num_levels, rbf, interpret, bx):
-    return _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx), (X, Y)
+def _fused_vjp_fwd(X, Y, num_levels, rbf, interpret, bx, mxu):
+    return _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx, mxu), (X, Y)
 
 
 _BWD_ROW_BLOCK = 64
 
 
-def _fused_vjp_bwd(num_levels, rbf, interpret, bx, res, g):
+def _fused_vjp_bwd(num_levels, rbf, interpret, bx, mxu, res, g):
     """Backward: fully-fused reverse-sweep Pallas kernel on TPU backends;
     row-blocked XLA recompute elsewhere (the [N1, N2, L, L] intermediates
     would need 51 GB HBM at N=800 unblocked)."""
     X, Y = res
     if not interpret and jax.default_backend() not in ("cpu",):
         return fused_gram_levels_bwd_pallas(
-            X, Y, g, num_levels, rbf, interpret, bx
+            X, Y, g, num_levels, rbf, interpret, bx, mxu
         )
     N1 = X.shape[0]
     rb = _BWD_ROW_BLOCK
@@ -357,13 +399,15 @@ def _fused_vjp_bwd(num_levels, rbf, interpret, bx, res, g):
 fused_gram_levels.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def fused_diag_levels(X, num_levels, rbf=True, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def fused_diag_levels(X, num_levels, rbf=True, interpret=False, mxu=None):
     """[nl+1, N] per-level self kernels k_m(x_n, x_n), fully fused."""
-    return _fused_diag_impl(X, num_levels, rbf, interpret)
+    return _fused_diag_impl(X, num_levels, rbf, interpret, mxu)
 
 
-def _fused_diag_impl(X, num_levels, rbf, interpret):
+def _fused_diag_impl(X, num_levels, rbf, interpret, mxu=None):
+    if mxu is None:
+        mxu = _default_mxu()
     if num_levels + 1 > _LEVROWS:
         raise ValueError("fused kernel supports num_levels <= 7")
     N, L, d = X.shape
@@ -373,7 +417,7 @@ def _fused_diag_impl(X, num_levels, rbf, interpret):
     Xt = jnp.pad(Xt, ((0, Lp - L), (0, 0), (0, Np - N)))
     out = pl.pallas_call(
         functools.partial(
-            _diag_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf
+            _diag_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf, mxu=mxu
         ),
         grid=(Np // _LANE,),
         in_specs=[
@@ -390,11 +434,11 @@ def _fused_diag_impl(X, num_levels, rbf, interpret):
     return out[: num_levels + 1, :N]
 
 
-def _diag_vjp_fwd(X, num_levels, rbf, interpret):
-    return _fused_diag_impl(X, num_levels, rbf, interpret), X
+def _diag_vjp_fwd(X, num_levels, rbf, interpret, mxu):
+    return _fused_diag_impl(X, num_levels, rbf, interpret, mxu), X
 
 
-def _diag_vjp_bwd(num_levels, rbf, interpret, X, g):
+def _diag_vjp_bwd(num_levels, rbf, interpret, mxu, X, g):
     _, vjp = jax.vjp(
         lambda x: _xla_reference_diag(x, num_levels, rbf), X
     )
@@ -442,7 +486,7 @@ def _kcol_wide_raw(xcols, nx, y_ref, jj, d, bx):
 
 
 def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
-                      *, L, d, num_levels, rbf, bx):
+                      *, L, d, num_levels, rbf, bx, mxu):
     """x_ref [1, Lp, d·bx]; y_ref [L, d, 128]; g_ref [bx, _LEVROWS, 128]
     (cotangents of the level sums); outputs: xb_ref [1, 1, Lp, d·bx]
     (X̄ partial for this y-block), yb_ref [1, 1, L, d·128] (Ȳ partial for
@@ -451,7 +495,6 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
     Lp = x_ref.shape[1]
     W = bx * _LANE
     nl = num_levels
-    hp = _MXU_PREC
 
     er = jax.lax.broadcasted_iota(jnp.int32, (bx, W), 0)
     ec = jax.lax.broadcasted_iota(jnp.int32, (bx, W), 1)
@@ -460,8 +503,7 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
     nx = jnp.zeros((Lp, W), dt)
     for dd in range(d):
         xs = x_ref[0, :, dd * bx : (dd + 1) * bx]
-        xw = jnp.dot(xs, Eb, preferred_element_type=jnp.float32,
-                     precision=hp).astype(dt)
+        xw = _mxu_dot(xs, Eb, mxu, "left").astype(dt)
         xcols.append(xw)
         nx = nx + xw * xw
     SL = _sl(Lp, dt)
@@ -486,12 +528,9 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
     def fwd_body(jj, carry):
         Kprev, C = carry
         Knext, _ = kcol(jj + 1)
-        Mcol = jnp.dot(Dm, Knext - Kprev,
-                       preferred_element_type=jnp.float32,
-                       precision=hp).astype(dt)
+        Mcol = _mxu_dot(Dm, Knext - Kprev, mxu, "right").astype(dt)
         if nl >= 2:
-            E = jnp.dot(SL, C, preferred_element_type=jnp.float32,
-                        precision=hp).astype(dt)
+            E = _mxu_dot(SL, C, mxu, "right").astype(dt)
             As = [Mcol] + [
                 Mcol * E[:, (m - 2) * W : (m - 1) * W]
                 for m in range(2, nl + 1)
@@ -535,9 +574,7 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
         (K_hi, yws_hi, CC, R, colDbar_prev, xbar_acc, nxbar) = carry
         jj = L - 2 - t
         K_lo, yws_lo = kcol(jj)
-        Mcol = jnp.dot(Dm, K_hi - K_lo,
-                       preferred_element_type=jnp.float32,
-                       precision=hp).astype(dt)
+        Mcol = _mxu_dot(Dm, K_hi - K_lo, mxu, "right").astype(dt)
         # reconstruct CC_m(jj) and E_m = SL·CC_{m-1}(jj), ascending m
         As = [Mcol]
         Es = []
@@ -545,8 +582,7 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
         for m in range(1, nl):
             CCm = CC[:, (m - 1) * W : m * W] - As[m - 1]
             CC_new.append(CCm)
-            E = jnp.dot(SL, CCm, preferred_element_type=jnp.float32,
-                        precision=hp).astype(dt)
+            E = _mxu_dot(SL, CCm, mxu, "right").astype(dt)
             Es.append(E)
             As.append(Mcol * E)
         CC = (jnp.concatenate(CC_new, axis=1) if nl >= 2
@@ -566,11 +602,8 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
             inner = jnp.concatenate(
                 [Mcol * Abars[m] for m in range(1, nl)], axis=1
             )
-            R = R + jnp.dot(SL.T, inner,
-                            preferred_element_type=jnp.float32,
-                            precision=hp).astype(dt)
-        colDbar = jnp.dot(Dm.T, Mbar, preferred_element_type=jnp.float32,
-                          precision=hp).astype(dt)
+            R = R + _mxu_dot(SL.T, inner, mxu, "right").astype(dt)
+        colDbar = _mxu_dot(Dm.T, Mbar, mxu, "right").astype(dt)
         Kbar_hi = colDbar - colDbar_prev
         xbar_acc, nxbar = chain_column(
             jj + 1, Kbar_hi, K_hi, yws_hi, xbar_acc, nxbar
@@ -596,16 +629,17 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
         xb = xbar_acc[:, dd * W : (dd + 1) * W]
         if rbf:
             xb = xb + 2.0 * xcols[dd] * nxbar
-        xred = jnp.dot(xb, Eb.T, preferred_element_type=jnp.float32,
-                       precision=hp).astype(dt)  # [Lp, bx]
+        xred = _mxu_dot(xb, Eb.T, mxu, "left").astype(dt)  # [Lp, bx]
         xb_ref[0, 0, :, dd * bx : (dd + 1) * bx] = xred
     yb_ref[0, 0] = yscr[...]
 
 
 def fused_gram_levels_bwd_pallas(X, Y, g, num_levels, rbf=True,
-                                 interpret=False, bx=8):
+                                 interpret=False, bx=8, mxu=None):
     """Fully-fused backward: (X̄, Ȳ) from level-sum cotangents g
     [nl+1, N1, N2]. Same tiling as the forward."""
+    if mxu is None:
+        mxu = _default_mxu()
     N1, L, d = X.shape
     N2 = Y.shape[0]
     Lp = _round_up(L, 8)
@@ -625,7 +659,7 @@ def fused_gram_levels_bwd_pallas(X, Y, g, num_levels, rbf=True,
     xb, yb = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf,
-            bx=bx,
+            bx=bx, mxu=mxu,
         ),
         grid=(nbi, nbj),
         in_specs=[

@@ -49,9 +49,20 @@ from gpsig_tpu.ops import signature as sigops
 
 _LANE = 128
 
-# See fused_gram.py: HIGHEST (exact f32) by default; GPSIG_MXU_PRECISION
-# selects the 1-pass bf16 throughput mode (Mosaic supports no 3-pass HIGH).
-from gpsig_tpu.ops.pallas.fused_gram import _MXU_PREC
+# See fused_gram.py: in-kernel matmul mode ('highest' exact f32, 'split'
+# two-pass bf16 hi/lo, 'default' one-pass bf16) from GPSIG_MXU_PRECISION;
+# every dot here has one structural 0/±1 triangular operand.
+from gpsig_tpu.ops.pallas.fused_gram import _default_mxu, _mxu_dot
+
+
+def _dot_sl(S, A, mxu):
+    """structural @ data."""
+    return _mxu_dot(S, A, mxu, "right").astype(A.dtype)
+
+
+def _dot_sr(A, S, mxu):
+    """data @ structural."""
+    return _mxu_dot(A, S, mxu, "left").astype(A.dtype)
 
 
 def _round_up(x, m):
@@ -68,6 +79,7 @@ def _fwd_kernel(m_ref, out_ref, *, num_levels):
     M = m_ref[0]  # [L1, L2]
     L1, L2 = M.shape
     dt = M.dtype
+    mxu = _default_mxu()
     SL = _tri(L1, dt, strictly_lower=True)
     SU = _tri(L2, dt, strictly_lower=False)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
@@ -75,13 +87,7 @@ def _fwd_kernel(m_ref, out_ref, *, num_levels):
     A = M
     out = out + jnp.where(lane == 1, jnp.sum(A), 0.0)
     for m in range(2, num_levels + 1):
-        E = jnp.dot(
-            jnp.dot(SL, A, preferred_element_type=jnp.float32,
-                  precision=_MXU_PREC),
-            SU,
-            preferred_element_type=jnp.float32,
-            precision=_MXU_PREC,
-        ).astype(dt)
+        E = _dot_sr(_dot_sl(SL, A, mxu), SU, mxu)
         A = M * E
         out = out + jnp.where(lane == m, jnp.sum(A), 0.0)
     out_ref[0] = out
@@ -91,6 +97,7 @@ def _bwd_kernel(m_ref, w_ref, gm_ref, *, num_levels):
     M = m_ref[0]  # [L1, L2]
     dt = M.dtype
     L1, L2 = M.shape
+    mxu = _default_mxu()
     SL = _tri(L1, dt, strictly_lower=True)
     SU = _tri(L2, dt, strictly_lower=False)
     w = w_ref[0]  # [1, 128]; w[0, m] = cotangent of level m
@@ -99,13 +106,7 @@ def _bwd_kernel(m_ref, w_ref, gm_ref, *, num_levels):
     Es = []
     A = M
     for m in range(2, num_levels + 1):
-        E = jnp.dot(
-            jnp.dot(SL, A, preferred_element_type=jnp.float32,
-                  precision=_MXU_PREC),
-            SU,
-            preferred_element_type=jnp.float32,
-            precision=_MXU_PREC,
-        ).astype(dt)
+        E = _dot_sr(_dot_sl(SL, A, mxu), SU, mxu)
         Es.append(E)
         A = M * E
 
@@ -115,13 +116,7 @@ def _bwd_kernel(m_ref, w_ref, gm_ref, *, num_levels):
         E = Es[m - 2]
         gM = gM + E * gA
         inner = M * gA
-        gA = jnp.dot(
-            jnp.dot(SL.T, inner, preferred_element_type=jnp.float32,
-                  precision=_MXU_PREC),
-            SU.T,
-            preferred_element_type=jnp.float32,
-            precision=_MXU_PREC,
-        ).astype(dt) + w[0, m - 1]
+        gA = _dot_sr(_dot_sl(SL.T, inner, mxu), SU.T, mxu) + w[0, m - 1]
     gM = gM + gA  # A_1 = M
     gm_ref[0] = gM
 
@@ -134,13 +129,15 @@ def _fwd_kernel_ho(m_ref, out_ref, *, num_levels, order):
     M = m_ref[0]  # [L1, L2]
     L1, L2 = M.shape
     dt = M.dtype
-    hp = _MXU_PREC
+    mxu = _default_mxu()
     SL = _tri(L1, dt, strictly_lower=True)
     SU = _tri(L2, dt, strictly_lower=False)
 
     def msl(A, B):
-        return jnp.dot(A, B, preferred_element_type=jnp.float32,
-                       precision=hp).astype(dt)
+        # one operand is always the structural SL (left) or SU (right)
+        if A is SL:
+            return _dot_sl(A, B, mxu)
+        return _dot_sr(A, B, mxu)
 
     def tree_sum(items):
         acc = None

@@ -166,6 +166,37 @@ def job_sig_gram_ho():
           f"({B} pairs, L={L}, nl={nl}, order={order}) -> {tx/tp:.2f}x")
 
 
+def job_fused_mxu():
+    """MXU-mode sweep of the fused Gram kernel: highest (6-pass f32) vs
+    split (2×1-pass bf16 hi/lo decomposition) vs default (1-pass bf16).
+    Amortized timing: R grams per dispatch (relay floor ~29 ms)."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops.pallas import fused_gram as fg
+
+    N, L, d, nl, R = 200, 50, 2, 4, 16
+    rng = np.random.default_rng(0)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    want = np.asarray(jax.jit(
+        lambda x: fg._xla_reference(x, x, nl, True))(X))
+    scale = np.abs(want).max(axis=(1, 2), keepdims=True)
+
+    for mode in ("highest", "split", "default"):
+        fn = jax.jit(lambda x, mode=mode: fg.fused_gram_levels(
+            x, x, nl, True, False, 8, mode))
+        got = np.asarray(fn(X))
+        err = np.max(np.abs(got - want) / scale)
+        rep = jax.jit(lambda x, s, mode=mode: jax.lax.scan(
+            lambda c, e: (c, jnp.sum(fg.fused_gram_levels(
+                x * (1.0 + e), x, nl, True, False, 8, mode))),
+            0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
+        np.asarray(rep(X, jnp.float32(0)))
+        t = _median_time(lambda i: np.asarray(rep(X, jnp.float32(i))))
+        print(f"mxu={mode}: scaled err {err:.2e}  {t/R*1e3:.2f} ms/gram "
+              f"({R * N * N / t:.0f} entries/s)")
+
+
 if __name__ == "__main__":
     job = sys.argv[1] if len(sys.argv) > 1 else "fused_fwd"
     t0 = time.time()
@@ -173,5 +204,6 @@ if __name__ == "__main__":
      "fused_bwd": job_fused_bwd,
      "goursat": job_goursat,
      "goursat_sweep": job_goursat_sweep,
-     "sig_gram_ho": job_sig_gram_ho}[job]()
+     "sig_gram_ho": job_sig_gram_ho,
+     "fused_mxu": job_fused_mxu}[job]()
     print(f"total {time.time()-t0:.1f} s")

@@ -108,6 +108,60 @@ def test_fused_gram_matches_xla(rbf, nl):
     )
 
 
+@pytest.mark.parametrize("mxu", ["split", "default"])
+def test_fused_gram_mxu_modes(mxu):
+    """The split-bf16 MXU mode (a = hi + lo, two 1-pass matmuls against
+    exact 0/±1 structure matrices) must stay within ~2^-16 of the exact
+    path; 'default' (1-pass bf16) is looser. Errors here are real even in
+    interpret mode — the hi/lo decomposition is explicit astype ops."""
+    from gpsig_tpu.ops.pallas import fused_gram as fg
+
+    rng = np.random.default_rng(11)
+    X = jnp.asarray(
+        (0.3 * rng.standard_normal((8, 30, 2))).cumsum(1), jnp.float32
+    )
+    Y = jnp.asarray(
+        (0.3 * rng.standard_normal((6, 30, 2))).cumsum(1), jnp.float32
+    )
+    want = np.asarray(fg._xla_reference(X, Y, 4, True))
+    got = np.asarray(fg.fused_gram_levels(X, Y, 4, True, True, 4, mxu))
+    scale = np.abs(want).max(axis=(1, 2), keepdims=True)
+    tol = 1e-4 if mxu == "split" else 2e-2
+    assert np.max(np.abs(got - want) / scale) < tol
+
+    # diag variant in the same mode
+    dwant = np.asarray(fg._xla_reference_diag(X, 4, True))
+    dgot = np.asarray(fg.fused_diag_levels(X, 4, True, True, mxu))
+    dscale = np.abs(dwant).max(axis=1, keepdims=True)
+    assert np.max(np.abs(dgot - dwant) / dscale) < tol
+
+    # fused backward in split mode stays close to the XLA vjp
+    if mxu == "split":
+        g = jnp.asarray(rng.standard_normal((5, 8, 6)), jnp.float32)
+        _, vjp = jax.vjp(lambda x, y: fg._xla_reference(x, y, 4, True),
+                         X, Y)
+        xw, yw = vjp(g)
+        xb, yb = fg.fused_gram_levels_bwd_pallas(
+            X, Y, g, 4, True, True, 4, mxu)
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xw),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(yw),
+                                   rtol=2e-3, atol=2e-4)
+
+    # unknown env mode is rejected at resolution time
+    import os
+    old = os.environ.get("GPSIG_MXU_PRECISION")
+    os.environ["GPSIG_MXU_PRECISION"] = "fastest"
+    try:
+        with pytest.raises(ValueError, match="GPSIG_MXU_PRECISION"):
+            fg._default_mxu()
+    finally:
+        if old is None:
+            del os.environ["GPSIG_MXU_PRECISION"]
+        else:
+            os.environ["GPSIG_MXU_PRECISION"] = old
+
+
 def test_fused_gram_grad_via_xla_fallback():
     from gpsig_tpu.ops.pallas import fused_gram as fg
 
