@@ -21,6 +21,9 @@ def main():
     p.add_argument("--num-inducing", type=int, default=40)
     p.add_argument("--inducing-len", type=int, default=8)
     p.add_argument("--batch", type=int, default=50)
+    p.add_argument("--early-stop", action="store_true",
+                   help="hold out 20%% of train for val-accuracy early "
+                        "stopping (the reference benchmarks' protocol)")
     args = p.parse_args()
     jax = setup_jax(args)
     import jax.numpy as jnp
@@ -39,6 +42,11 @@ def main():
     d = Xtr.shape[-1]
     C = int(max(ytr.max(), yte.max())) + 1
     Xtr_j = jnp.asarray(Xtr, dtype)
+    val = None
+    if args.early_stop:
+        nv = max(1, len(ytr) // 5)
+        val = (Xtr_j[:nv], jnp.asarray(ytr[:nv]))
+        Xtr_j, ytr = Xtr_j[nv:], ytr[nv:]
 
     kern = SignatureRBF(d, 4, lengthscales=1.0, order=1,
                         normalization=True, dtype=dtype)
@@ -54,7 +62,7 @@ def main():
     model, hist = fit(
         model, Xtr_j, jnp.asarray(ytr), num_iters=iters,
         batch_size=min(args.batch, len(ytr)), learning_rate=2e-3,
-        gamma=0.1, use_natgrad=True, seed=args.seed,
+        gamma=0.1, use_natgrad=True, seed=args.seed, val_data=val,
     )
     t_train = time.time() - t0
     acc, nlpp = accuracy_and_nlpp(model, jnp.asarray(Xte, dtype), yte)

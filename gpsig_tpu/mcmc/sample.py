@@ -76,6 +76,60 @@ def welford_variance(state: WelfordState, regularize=True):
     return var
 
 
+def make_warm_step(kernel, target_accept, mass_start, mass_end,
+                   cross_chain_mean=None):
+    """One warmup iteration: NUTS transition + dual-averaging step-size
+    update + Welford mass accumulation in [mass_start, mass_end).
+
+    carry = (state, da, wf, inv_mass, key); scanned over the absolute
+    warmup index t (so the same step function works for chunked scans —
+    the mass-window logic keys on t, not the position within a chunk)."""
+
+    def warm_step(carry, t):
+        state, da, wf, inv_mass, key = carry
+        key, sub = jax.random.split(key)
+        eps = jnp.exp(da.log_eps)
+        state, info = kernel(sub, state, eps, inv_mass)
+        acc = info["accept_prob"]
+        if cross_chain_mean is not None:
+            acc = cross_chain_mean(acc)
+        da = da_update(da, acc, target=target_accept)
+        in_window = (t >= mass_start) & (t < mass_end)
+        wf_new = welford_update(wf, state.theta)
+        wf = jax.tree.map(
+            lambda a, b: jnp.where(in_window, a, b), wf_new, wf
+        )
+        # at window end: freeze mass matrix, restart dual averaging
+        at_end = t == mass_end
+        inv_mass = jnp.where(at_end, welford_variance(wf), inv_mass)
+        da_reset = da_init(jnp.exp(da.log_eps))
+        da = jax.tree.map(
+            lambda a, b: jnp.where(at_end, a, b), da_reset, da
+        )
+        return (state, da, wf, inv_mass, key), info["accept_prob"]
+
+    return warm_step
+
+
+def make_samp_step(kernel):
+    """One sampling iteration. carry = (state, key, eps, inv_mass)."""
+
+    def samp_step(carry, _):
+        state, key, eps, inv_mass = carry
+        key, sub = jax.random.split(key)
+        state, info = kernel(sub, state, eps, inv_mass)
+        out = {
+            "theta": state.theta,
+            "logp": state.logp,
+            "accept_prob": info["accept_prob"],
+            "diverging": info["diverging"],
+            "num_leaves": info["num_leaves"],
+        }
+        return (state, key, eps, inv_mass), out
+
+    return samp_step
+
+
 def run_nuts(
     key,
     logp_fn: Callable,
@@ -102,29 +156,8 @@ def run_nuts(
 
     mass_start = int(0.1 * num_warmup)
     mass_end = int(0.9 * num_warmup)
-
-    def warm_step(carry, t):
-        state, da, wf, inv_mass, key = carry
-        key, sub = jax.random.split(key)
-        eps = jnp.exp(da.log_eps)
-        state, info = kernel(sub, state, eps, inv_mass)
-        acc = info["accept_prob"]
-        if cross_chain_mean is not None:
-            acc = cross_chain_mean(acc)
-        da = da_update(da, acc, target=target_accept)
-        in_window = (t >= mass_start) & (t < mass_end)
-        wf_new = welford_update(wf, state.theta)
-        wf = jax.tree.map(
-            lambda a, b: jnp.where(in_window, a, b), wf_new, wf
-        )
-        # at window end: freeze mass matrix, restart dual averaging
-        at_end = t == mass_end
-        inv_mass = jnp.where(at_end, welford_variance(wf), inv_mass)
-        da_reset = da_init(jnp.exp(da.log_eps))
-        da = jax.tree.map(
-            lambda a, b: jnp.where(at_end, a, b), da_reset, da
-        )
-        return (state, da, wf, inv_mass, key), info["accept_prob"]
+    warm_step = make_warm_step(kernel, target_accept, mass_start,
+                               mass_end, cross_chain_mean)
 
     da0 = da_init(jnp.asarray(init_step_size, dtype))
     wf0 = welford_init(dim, dtype)
@@ -135,22 +168,9 @@ def run_nuts(
         jnp.arange(num_warmup),
     )
     eps = jnp.exp(da.log_eps_bar)
-
-    def samp_step(carry, _):
-        state, key = carry
-        key, sub = jax.random.split(key)
-        state, info = kernel(sub, state, eps, inv_mass)
-        out = {
-            "theta": state.theta,
-            "logp": state.logp,
-            "accept_prob": info["accept_prob"],
-            "diverging": info["diverging"],
-            "num_leaves": info["num_leaves"],
-        }
-        return (state, key), out
-
-    (state, _), draws = lax.scan(
-        samp_step, (state, key), None, length=num_samples
+    samp_step = make_samp_step(kernel)
+    (state, _, _, _), draws = lax.scan(
+        samp_step, (state, key, eps, inv_mass), None, length=num_samples
     )
     info = {
         "step_size": eps,

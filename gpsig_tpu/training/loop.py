@@ -71,6 +71,15 @@ def init_state(model, optimizer):
     return TrainState(model, optimizer.init(model), jnp.asarray(0))
 
 
+def default_val_metric(model, Xv, yv):
+    """Validation accuracy (classification) — the reference benchmarks'
+    early-stopping criterion (SURVEY.md §2.1 'Benchmarks' row)."""
+    import numpy as np
+
+    p, _ = model.predict_y(Xv)
+    return float((np.asarray(p).argmax(1) == np.asarray(yv)).mean())
+
+
 def fit(
     model,
     X,
@@ -83,8 +92,17 @@ def fit(
     seed=0,
     callback: Callable | None = None,
     log_every=100,
+    val_data=None,
+    val_every=50,
+    patience=10,
+    val_metric: Callable | None = None,
 ):
-    """Simple full-data / minibatch fitting loop (host-side batching)."""
+    """Simple full-data / minibatch fitting loop (host-side batching).
+
+    val_data=(Xv, yv) enables validation-based early stopping: evaluate
+    ``val_metric`` (default: accuracy) every ``val_every`` iterations, keep
+    the best model, stop after ``patience`` evaluations without
+    improvement. Mirrors the reference's benchmark protocol."""
     import numpy as np
 
     N = X.shape[0]
@@ -95,6 +113,8 @@ def fit(
     key = jax.random.PRNGKey(seed)
     rng = np.random.default_rng(seed)
     history = []
+    metric = val_metric if val_metric is not None else default_val_metric
+    best_score, best_model, stale = -np.inf, None, 0
     for it in range(num_iters):
         key, sub = jax.random.split(key)
         if batch_size is None or batch_size >= N:
@@ -107,4 +127,16 @@ def fit(
             history.append((it, float(elbo)))
             if callback is not None:
                 callback(it, state.model, float(elbo))
+        if val_data is not None and (
+            (it + 1) % val_every == 0 or it == num_iters - 1
+        ):
+            score = metric(state.model, val_data[0], val_data[1])
+            if score > best_score:
+                best_score, best_model, stale = score, state.model, 0
+            else:
+                stale += 1
+                if stale >= patience:
+                    break
+    if val_data is not None and best_model is not None:
+        return best_model, history
     return state.model, history

@@ -133,3 +133,40 @@ def test_step_fn_resume_from_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(s1.model.q_mu), np.asarray(s2.model.q_mu), atol=1e-12
     )
+
+
+def test_fit_early_stopping_returns_best_model():
+    """Validation-based early stopping (the reference benchmarks'
+    protocol): fit stops after `patience` stale evaluations and returns
+    the best-scoring model, not the last one."""
+    rng = np.random.default_rng(3)
+    X, y, model = _setup(rng)
+
+    evals = []
+
+    def metric(m, Xv, yv):
+        # deterministic declining sequence: first eval is the best
+        evals.append(float(jnp.sum(m.q_mu)))
+        return 1.0 if len(evals) == 1 else 1.0 / len(evals)
+
+    best, hist = fit(
+        model, X, y, num_iters=200, learning_rate=1e-3, gamma=0.05,
+        val_data=(X[:8], y[:8]), val_every=5, patience=3,
+        val_metric=metric,
+    )
+    # stopped after 1 best + 3 stale evaluations, far short of 200/5 evals
+    assert len(evals) == 4
+    # the returned model is the one from the FIRST evaluation (5 steps in),
+    # not the last state: natgrad moves q_mu every step, so a later model
+    # would disagree with the recorded best fingerprint.
+    np.testing.assert_allclose(float(jnp.sum(best.q_mu)), evals[0],
+                               rtol=1e-6)
+
+
+def test_fit_early_stopping_accuracy_metric_smoke():
+    rng = np.random.default_rng(4)
+    X, y, model = _setup(rng)
+    best, _ = fit(model, X, y, num_iters=20, learning_rate=1e-3,
+                  gamma=0.05, val_data=(X, y), val_every=10, patience=2)
+    p, _ = best.predict_y(X)
+    assert np.isfinite(np.asarray(p)).all()
