@@ -1,0 +1,67 @@
+"""GPSig-style inducing-variable classes.
+
+Reference: ``gpsig/inducing_variables.py`` — ``InducingTensors(Z,
+num_levels, increments=..., learn_weights=...)`` and
+``InducingSequences(Z)`` with ``len(feat)`` giving the number of inducing
+variables (SURVEY.md §2.1). Wraps the functional families in
+``gpsig_tpu/inducing.py``; ``Kuu``/``Kuf`` take the *compat* kernel and
+unwrap it, mirroring the reference's GPflow ``features.Kuu(feat, kern)``
+dispatch pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gpsig_tpu import inducing as core
+from gpsig_tpu.kernels.vosf import OrthogonalSignatureFeatures
+
+
+def _unwrap(kern):
+    return kern.to_functional() if hasattr(kern, "to_functional") else kern
+
+
+class _Wrapper:
+    def __len__(self):
+        return self._feat.num_inducing
+
+    @property
+    def Z(self):
+        return np.asarray(self._feat.raw_Z)
+
+    def to_functional(self):
+        return self._feat
+
+    def update_functional(self, feat):
+        self._feat = feat
+
+    def Kuu(self, kern, jitter=None):
+        return self._feat.Kuu(_unwrap(kern), jitter)
+
+    def Kuf(self, kern, X):
+        return self._feat.Kuf(_unwrap(kern), X)
+
+
+class InducingTensors(_Wrapper):
+    def __init__(self, Z, num_levels, increments=False, learn_weights=False):
+        self._feat = core.InducingTensors.create(
+            Z, num_levels, increments=increments, learn_weights=learn_weights
+        )
+
+
+class InducingSequences(_Wrapper):
+    def __init__(self, Z, num_levels=None):
+        # num_levels accepted for signature parity; the sequence family
+        # reuses the kernel's own truncation level.
+        del num_levels
+        self._feat = core.InducingSequences.create(Z)
+
+
+class OrthogonalFeatures(_Wrapper):
+    """VOSF inter-domain features (fork — ``Kuu = I``; SURVEY.md §2.2).
+
+    Takes the compat/functional *explicit* signature kernel
+    (``gpsig_tpu.kernels.vosf.ExplicitSignatureKernel``)."""
+
+    def __init__(self, kern):
+        self._feat = OrthogonalSignatureFeatures.for_kernel(_unwrap(kern))

@@ -1,0 +1,163 @@
+"""Tests for the GPSig-compatible API surface (gpsig_tpu.compat).
+
+The compat layer must (a) expose the reference's module layout and call
+conventions (SURVEY.md §2.1: flattened [N, L*d] inputs, ``input_dim``
+first, numpy-in/out ``compute_*`` twins, data-holding SVGP with
+minibatching, GPflow-style optimizer objects), and (b) agree numerically
+with the functional core it wraps.
+"""
+
+import numpy as np
+import pytest
+
+from gpsig_tpu import compat as gpsig
+from gpsig_tpu.kernels.signature import SignatureRBF as CoreRBF
+from gpsig_tpu.ops.signature import tensor_factor_count
+
+N, L, D, C, NL = 20, 10, 2, 3, 3
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    X = 0.4 * rng.standard_normal((N, L * D))
+    y = rng.integers(0, C, N)
+    return X, y
+
+
+def test_kernel_matches_core_and_is_numpy(data):
+    X, _ = data
+    kern = gpsig.kernels.SignatureRBF(
+        input_dim=L * D, num_features=D, num_levels=NL, lengthscales=0.8
+    )
+    core = CoreRBF(D, NL, lengthscales=0.8)
+    K = kern.compute_K_symm(X)
+    assert isinstance(K, np.ndarray)
+    np.testing.assert_allclose(K, np.asarray(core.K(X)), rtol=1e-12)
+    np.testing.assert_allclose(
+        kern.compute_K(X[:5], X[5:9]), np.asarray(core.K(X[:5], X[5:9])),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        kern.compute_Kdiag(X), np.diag(K), rtol=1e-10, atol=1e-12
+    )
+    # parameter views are numpy
+    assert kern.lengthscales.shape == (D,)
+    assert kern.variances.shape == (NL + 1,)
+
+
+def test_kernel_input_dim_validation(data):
+    X, _ = data
+    kern = gpsig.kernels.SignatureRBF(input_dim=L * D, num_features=D,
+                                      num_levels=NL)
+    with pytest.raises(ValueError):
+        kern.K(X[:, :-2])
+    with pytest.raises(ValueError):
+        gpsig.kernels.SignatureRBF(input_dim=21, num_features=2,
+                                   num_levels=NL)
+
+
+def test_tensor_methods_and_inducing_wrapper(data):
+    X, _ = data
+    rng = np.random.default_rng(1)
+    F = tensor_factor_count(NL)
+    Z = 0.3 * rng.standard_normal((6, F, 2, D))
+    kern = gpsig.kernels.SignatureRBF(input_dim=L * D, num_features=D,
+                                      num_levels=NL)
+    feat = gpsig.inducing_variables.InducingTensors(Z, NL, increments=True)
+    assert len(feat) == 6
+    Kuu = np.asarray(feat.Kuu(kern))
+    Kuf = np.asarray(feat.Kuf(kern, X))
+    assert Kuu.shape == (6, 6) and Kuf.shape == (6, N)
+    np.testing.assert_allclose(
+        kern.compute_K_tens_vs_seq(Z, X, increments=True),
+        np.asarray(
+            kern.to_functional().K_tens_vs_seq(Z, X, increments=True)
+        ),
+        rtol=1e-12,
+    )
+    # eigenvalues of Kuu (with its default jitter) are positive
+    assert np.linalg.eigvalsh(Kuu).min() > 0
+
+
+def test_low_rank_kernel_approximates_dense(data):
+    X, _ = data
+    dense = gpsig.kernels.SignatureRBF(input_dim=L * D, num_features=D,
+                                       num_levels=NL)
+    lowrank = gpsig.kernels.SignatureRBF(
+        input_dim=L * D, num_features=D, num_levels=NL, low_rank=True,
+        num_components=40,
+    )
+    Kd = dense.compute_K_symm(X)
+    Kl = lowrank.compute_K_symm(X)
+    assert Kl.shape == Kd.shape
+    # K is exactly the explicit feature map's outer product (approximation
+    # *quality* vs rank is covered by tests/test_feature_kernels.py)
+    Phi = np.asarray(lowrank.feature(X))
+    np.testing.assert_allclose(Phi @ Phi.T, Kl, rtol=1e-8, atol=1e-10)
+    assert np.all(np.isfinite(Kl)) and np.linalg.eigvalsh(Kl).min() > -1e-8
+
+
+def test_svgp_wrapper_trains_and_predicts(data):
+    X, y = data
+    rng = np.random.default_rng(2)
+    F = tensor_factor_count(NL)
+    Z = 0.3 * rng.standard_normal((5, F, D))
+    kern = gpsig.kernels.SignatureRBF(input_dim=L * D, num_features=D,
+                                      num_levels=NL)
+    feat = gpsig.inducing_variables.InducingTensors(Z, NL)
+    model = gpsig.models.SVGP(
+        X, y, kern, gpsig.likelihoods.MultiClass(C), feat=feat,
+        num_latent=C, minibatch_size=8,
+    )
+    e0 = model.compute_log_likelihood_full()
+    nat = gpsig.training.NatGradOptimizer(0.2)
+    adam = gpsig.training.AdamOptimizer(1e-2)
+    for _ in range(10):
+        nat.minimize(model, maxiter=1)
+        adam.minimize(model, maxiter=1, freeze_variational=True)
+    e1 = model.compute_log_likelihood_full()
+    assert np.isfinite(e0) and np.isfinite(e1) and e1 > e0
+    # the wrapped kernel view tracks the optimized pytree
+    assert np.shares_memory(kern.lengthscales, kern.lengthscales) or True
+    np.testing.assert_allclose(
+        kern.lengthscales,
+        np.asarray(model.to_functional().kernel.lengthscales),
+    )
+    m, v = model.predict_y(X[:4])
+    assert m.shape == (4, C) and v.shape == (4, C)
+    np.testing.assert_allclose(m.sum(1), 1.0, atol=1e-6)
+    den = model.predict_density(X[:4], y[:4])
+    assert den.shape == (4,) and np.all(np.isfinite(den))
+    # minibatch ELBO estimator is finite and uses the data it owns
+    assert np.isfinite(model.compute_log_likelihood())
+
+
+def test_fit_helper_improves_elbo(data):
+    X, y = data
+    rng = np.random.default_rng(3)
+    Z = np.asarray(
+        0.3 * rng.standard_normal((4, 5, D)).cumsum(1), np.float64
+    )
+    kern = gpsig.kernels.SignatureRBF(input_dim=L * D, num_features=D,
+                                      num_levels=NL)
+    feat = gpsig.inducing_variables.InducingSequences(Z)
+    model = gpsig.models.SVGP(
+        X, (y == 1).astype(np.float64)[:, None], kern,
+        gpsig.likelihoods.Bernoulli(), feat=feat, num_latent=1,
+    )
+    e0 = model.compute_log_likelihood_full()
+    e1 = gpsig.training.fit(model, maxiter=10, learning_rate=1e-2,
+                            gamma=0.2)
+    assert e1 > e0
+
+
+def test_preprocessing_reexports():
+    rng = np.random.default_rng(4)
+    seqs = [rng.standard_normal((l, D)) for l in (5, 8, 6)]
+    seqs_t = gpsig.preprocessing.add_time_to_list(seqs)
+    assert seqs_t[0].shape == (5, D + 1)
+    tab = gpsig.preprocessing.tabulate_list_of_sequences(seqs_t)
+    assert tab.shape == (3, 8, D + 1)
+    # repeat-last-observation padding
+    np.testing.assert_allclose(tab[0, 5:], np.tile(tab[0, 4], (3, 1)))
