@@ -27,7 +27,10 @@ import time
 import numpy as np
 
 N_CPU = 60
-N_DEV = 200
+# 256 = 2 full 128-lane blocks: the fused kernel computes N2 padded to lane
+# granularity either way, so a lane-aligned N credits all computed entries
+# (measured on-chip: 14.7M entries/s at 256 vs 8.9M at 200).
+N_DEV = 256
 L, D, NUM_LEVELS = 50, 2, 4
 REPEATS = 32  # grams per dispatch: amortizes the axon relay's ~29 ms floor
 PALLAS_TIMEOUT_S = int(os.environ.get("GPSIG_BENCH_PALLAS_TIMEOUT", "1500"))

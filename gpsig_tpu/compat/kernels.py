@@ -226,3 +226,49 @@ class SignaturePoly(SignatureKernel):
 
 class SignatureCosine(SignatureKernel):
     _CTOR = staticmethod(core.SignatureCosine)
+
+
+class UntruncSignatureKernel:
+    """Fork's PDE (Goursat) signature kernel (reference:
+    ``gpsig/kernels_pde.py::UntruncSignatureKernel`` — SURVEY.md §2.2),
+    with the reference's flattened-input + ``compute_K*`` conventions."""
+
+    def __init__(self, input_dim, num_features, dyadic_order=0,
+                 lengthscales=1.0, sigma=1.0, normalization=False,
+                 dtype=None, **kw):
+        from gpsig_tpu.kernels import pde
+
+        if input_dim % num_features:
+            raise ValueError(
+                f"input_dim {input_dim} not divisible by num_features "
+                f"{num_features}"
+            )
+        self.input_dim = input_dim
+        self.num_features = num_features
+        self._kern = pde.UntruncatedSignatureKernel.create(
+            num_features,
+            lengthscales=lengthscales,
+            sigma=sigma,
+            dyadic_order=dyadic_order,
+            normalization=normalization,
+            dtype=dtype or jnp.float64,
+            **kw,
+        )
+
+    to_functional = SignatureKernel.to_functional
+    update_functional = SignatureKernel.update_functional
+    _check = SignatureKernel._check
+    K = SignatureKernel.K
+    Kdiag = SignatureKernel.Kdiag
+    compute_K = SignatureKernel.compute_K
+    compute_K_symm = SignatureKernel.compute_K_symm
+    compute_Kdiag = SignatureKernel.compute_Kdiag
+    _low_rank = False
+
+    @property
+    def lengthscales(self):
+        return np.asarray(self._kern.lengthscales)
+
+    @property
+    def sigma(self):
+        return np.asarray(self._kern.sigma)

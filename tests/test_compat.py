@@ -152,6 +152,27 @@ def test_fit_helper_improves_elbo(data):
     assert e1 > e0
 
 
+def test_pde_kernel_wrapper(data):
+    X, _ = data
+    from gpsig_tpu.kernels.pde import UntruncatedSignatureKernel
+
+    # smooth paths (cumsum) — at dyadic_order=0 the finite-difference diag
+    # is only meaningful on smooth inputs (see kernels/pde.py normalization
+    # note); the unnormalized kernel is exact parity regardless
+    Xs = 0.2 * X.reshape(N, L, D).cumsum(1)[:6].reshape(6, L * D)
+    kern = gpsig.kernels.UntruncSignatureKernel(
+        input_dim=L * D, num_features=D, dyadic_order=0, normalization=False
+    )
+    core = UntruncatedSignatureKernel.create(D, dyadic_order=0,
+                                             normalization=False)
+    K = kern.compute_K_symm(Xs)
+    np.testing.assert_allclose(
+        K, np.asarray(core.K(Xs.reshape(6, L, D))), rtol=1e-10
+    )
+    np.testing.assert_allclose(kern.compute_Kdiag(Xs),
+                               np.diag(K), rtol=1e-8)
+
+
 def test_preprocessing_reexports():
     rng = np.random.default_rng(4)
     seqs = [rng.standard_normal((l, D)) for l in (5, 8, 6)]
