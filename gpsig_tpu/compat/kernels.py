@@ -46,6 +46,7 @@ class SignatureKernel:
         num_components=64,
         rank_bound=None,
         sparsity="sqrt",
+        X_example=None,
         dtype=None,
         **kw,
     ):
@@ -81,7 +82,15 @@ class SignatureKernel:
                 difference=difference,
                 dtype=dtype,
             )
-            self._kern = None  # built lazily on first data (needs landmarks)
+            # Nyström landmarks need data. Deterministic sources, in order of
+            # preference: an explicit X_example here, the training data when
+            # the kernel is handed to a compat SVGP (models.py calls
+            # _ensure_low_rank(X_train)), and only then first-touch data —
+            # so Gram values are no longer call-order dependent for the
+            # supported construction paths.
+            self._kern = None
+            if X_example is not None:
+                self._ensure_low_rank(self._check(jnp.asarray(X_example)))
         else:
             self._kern = type(self)._CTOR(
                 num_features,

@@ -48,6 +48,11 @@ class SVGP:
             )
         self._kern_wrapper = kern
         self._feat_wrapper = feat
+        if getattr(kern, "_low_rank", False) and kern._kern is None:
+            # Low-rank kernels build their Nyström landmarks from data;
+            # use the training set (deterministic, matches the reference's
+            # fit-on-train semantics) instead of first-touch initialization.
+            kern._ensure_low_rank(jnp.asarray(self.X))
         kfun = kern.to_functional() if hasattr(kern, "to_functional") else kern
         ffun = feat.to_functional() if hasattr(feat, "to_functional") else feat
         dtype = jnp.result_type(*(jnp.asarray(l).dtype for l in

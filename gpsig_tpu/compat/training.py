@@ -17,6 +17,8 @@ persists across ``minimize`` calls, keyed per model instance.
 
 from __future__ import annotations
 
+import weakref
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -25,15 +27,32 @@ from gpsig_tpu.training.natgrad import natgrad_step
 
 
 class AdamOptimizer:
+    """Adam over the model hyperparameters (reference protocol: grouped with
+    a NatGrad op — SURVEY.md §3.1).
+
+    State handling:
+    - Optimizer state and compiled steps are held in ``WeakKeyDictionary``s
+      keyed by the model wrapper, so a collected wrapper can never leak its
+      Adam moments into an unrelated new model (previously keyed by ``id``,
+      which CPython reuses) and the caches don't grow without bound.
+    - State is additionally keyed by ``freeze_variational`` so frozen and
+      unfrozen phases never share moments: stale nonzero moments from an
+      unfrozen phase must not keep moving (q_mu, q_sqrt) during a frozen one.
+    - ``learning_rate`` is injected as an optax hyperparameter, so mutating
+      ``opt.learning_rate`` between ``minimize`` calls (lr annealing) takes
+      effect instead of being baked in at trace time.
+    """
+
     def __init__(self, learning_rate=1e-3):
         self.learning_rate = learning_rate
-        self._opt = optax.adam(learning_rate)
-        self._state = {}  # id(model wrapper) -> optax state
-        self._step = {}  # id(model wrapper) -> jitted step fn
+        self._opt = optax.inject_hyperparams(optax.adam)(
+            learning_rate=learning_rate)
+        self._state = weakref.WeakKeyDictionary()  # wrapper -> {freeze: state}
+        self._step = weakref.WeakKeyDictionary()  # wrapper -> {freeze: fn}
 
     def _get_step(self, wrapper, freeze_variational):
-        key = (id(wrapper), freeze_variational)
-        if key not in self._step:
+        steps = self._step.setdefault(wrapper, {})
+        if freeze_variational not in steps:
 
             @jax.jit
             def step(model, opt_state, X, Y, rkey):
@@ -48,17 +67,30 @@ class AdamOptimizer:
                     )
                 updates, opt_state = self._opt.update(grads, opt_state,
                                                       model)
+                if freeze_variational:
+                    # Belt and braces: even zero grads move Adam's moment
+                    # estimates; pin the frozen leaves' updates to zero.
+                    updates = updates.replace(
+                        q_mu=jnp.zeros_like(updates.q_mu),
+                        q_sqrt=jnp.zeros_like(updates.q_sqrt),
+                    )
                 return optax.apply_updates(model, updates), opt_state, -loss
 
-            self._step[key] = step
-        return self._step[key]
+            steps[freeze_variational] = step
+        return steps[freeze_variational]
 
     def minimize(self, wrapper, maxiter=100, freeze_variational=False,
                  callback=None):
         model = wrapper.to_functional()
-        if id(wrapper) not in self._state:
-            self._state[id(wrapper)] = self._opt.init(model)
-        opt_state = self._state[id(wrapper)]
+        states = self._state.setdefault(wrapper, {})
+        if freeze_variational not in states:
+            states[freeze_variational] = self._opt.init(model)
+        opt_state = states[freeze_variational]
+        # Live learning rate: write the current value into the injected
+        # hyperparams each call.
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            self.learning_rate,
+            dtype=opt_state.hyperparams["learning_rate"].dtype)
         step = self._get_step(wrapper, freeze_variational)
         elbo = None
         for it in range(maxiter):
@@ -69,29 +101,33 @@ class AdamOptimizer:
             )
             if callback is not None:
                 callback(it, float(elbo))
-        self._state[id(wrapper)] = opt_state
+        states[freeze_variational] = opt_state
         wrapper.update_functional(model)
         return None if elbo is None else float(elbo)
 
 
 class NatGradOptimizer:
     """Natural-gradient steps on (q_mu, q_sqrt) in expectation parameters
-    (reference: ``gpflow.training.NatGradOptimizer`` — SURVEY.md §2.3)."""
+    (reference: ``gpflow.training.NatGradOptimizer`` — SURVEY.md §2.3).
+
+    ``gamma`` is passed to the jitted step as a traced argument, so mutating
+    ``opt.gamma`` mid-training (gamma annealing, a common GPSig protocol)
+    takes effect without retracing."""
 
     def __init__(self, gamma=0.1):
         self.gamma = gamma
-        self._step = {}
+        self._step = weakref.WeakKeyDictionary()
 
     def _get_step(self, wrapper):
-        if id(wrapper) not in self._step:
+        if wrapper not in self._step:
 
             @jax.jit
-            def step(model, X, Y, rkey):
-                return natgrad_step(model, self.gamma, X, Y,
+            def step(model, gamma, X, Y, rkey):
+                return natgrad_step(model, gamma, X, Y,
                                     num_data=wrapper.num_data, key=rkey)
 
-            self._step[id(wrapper)] = step
-        return self._step[id(wrapper)]
+            self._step[wrapper] = step
+        return self._step[wrapper]
 
     def minimize(self, wrapper, maxiter=1, var_list=None):
         # var_list accepted for signature parity; the update always targets
@@ -99,9 +135,10 @@ class NatGradOptimizer:
         del var_list
         model = wrapper.to_functional()
         step = self._get_step(wrapper)
+        gamma = jnp.asarray(self.gamma, dtype=model.q_mu.dtype)
         for _ in range(maxiter):
             xb, yb = wrapper.next_batch()
-            model = step(model, jnp.asarray(xb), jnp.asarray(yb),
+            model = step(model, gamma, jnp.asarray(xb), jnp.asarray(yb),
                          wrapper._next_key())
         wrapper.update_functional(model)
 

@@ -33,6 +33,24 @@ Options
   increment Gram; if False on the raw step Gram (the reference's flag).
 - ``num_lags``: appends lagged channel copies with learnable fractional lag
   positions (logistic-transformed) and positive per-copy mixing weights γ.
+
+Engine coverage (which configurations hit the fast Pallas paths)
+----------------------------------------------------------------
+Two Pallas engines exist, both TPU-only; everything else takes the XLA path
+(always correct, just slower / more HBM-hungry):
+
+- *Fully-fused Gram* (`ops/pallas/fused_gram.py` — base kernel + differencing
+  + DP in VMEM, never materialises the [N², L, L] increment tensor):
+  requires ``order == 1``, ``difference == True``, ``num_levels <= 7``,
+  ``num_lags == 0``, and an RBF or Linear base. Poly/Cosine bases,
+  ``difference=False``, lags, and higher orders fall back silently.
+- *Fused per-pair DP* (`ops/pallas/sig_gram.py` — XLA builds the increment
+  tensor, Pallas runs the per-level recursion): any base kernel, any order;
+  dispatched when the pair count clears `_FUSED_MIN_PAIRS` or
+  ``engine='pallas'``.
+- ``engine='auto'`` additionally gates the fused paths behind static size
+  thresholds so minibatch-sized Grams never wait on a Mosaic compile;
+  ``engine='pallas'`` forces them, ``engine='xla'`` disables them.
 """
 
 from __future__ import annotations

@@ -118,8 +118,10 @@ def test_svgp_wrapper_trains_and_predicts(data):
         adam.minimize(model, maxiter=1, freeze_variational=True)
     e1 = model.compute_log_likelihood_full()
     assert np.isfinite(e0) and np.isfinite(e1) and e1 > e0
-    # the wrapped kernel view tracks the optimized pytree
-    assert np.shares_memory(kern.lengthscales, kern.lengthscales) or True
+    # the wrapped kernel view tracks the optimized pytree: Adam moved the
+    # hyperparameters away from their initial values...
+    assert not np.allclose(kern.lengthscales, 1.0)
+    # ...and the wrapper reflects exactly the optimized pytree values
     np.testing.assert_allclose(
         kern.lengthscales,
         np.asarray(model.to_functional().kernel.lengthscales),
@@ -182,3 +184,99 @@ def test_preprocessing_reexports():
     assert tab.shape == (3, 8, D + 1)
     # repeat-last-observation padding
     np.testing.assert_allclose(tab[0, 5:], np.tile(tab[0, 4], (3, 1)))
+
+
+def _tiny_svgp(data, seed=7, minibatch=8):
+    X, y = data
+    rng = np.random.default_rng(seed)
+    F = tensor_factor_count(NL)
+    Z = 0.3 * rng.standard_normal((4, F, D))
+    kern = gpsig.kernels.SignatureRBF(input_dim=L * D, num_features=D,
+                                      num_levels=NL)
+    feat = gpsig.inducing_variables.InducingTensors(Z, NL)
+    return gpsig.models.SVGP(
+        X, y, kern, gpsig.likelihoods.MultiClass(C), feat=feat,
+        num_latent=C, minibatch_size=minibatch, seed=seed,
+    )
+
+
+def test_natgrad_gamma_is_live(data):
+    """Mutating nat.gamma mid-training must take effect (ADVICE round 1:
+    gamma was baked in at trace time)."""
+    m_a = _tiny_svgp(data, seed=11)
+    m_b = _tiny_svgp(data, seed=11)
+    nat_a = gpsig.training.NatGradOptimizer(0.3)
+    nat_a.minimize(m_a, maxiter=1)
+    # annealed optimizer: starts at a dummy gamma, mutated before stepping
+    nat_b = gpsig.training.NatGradOptimizer(0.001)
+    nat_b.gamma = 0.3
+    nat_b.minimize(m_b, maxiter=1)
+    np.testing.assert_allclose(
+        np.asarray(m_a.to_functional().q_mu),
+        np.asarray(m_b.to_functional().q_mu), rtol=1e-10,
+    )
+    # and a *different* gamma gives a different step
+    m_c = _tiny_svgp(data, seed=11)
+    nat_c = gpsig.training.NatGradOptimizer(0.3)
+    nat_c.gamma = 0.05
+    nat_c.minimize(m_c, maxiter=1)
+    assert not np.allclose(np.asarray(m_a.to_functional().q_mu),
+                           np.asarray(m_c.to_functional().q_mu))
+
+
+def test_adam_learning_rate_is_live(data):
+    """Mutating adam.learning_rate between minimize calls must take effect."""
+    m_a = _tiny_svgp(data, seed=12)
+    m_b = _tiny_svgp(data, seed=12)
+    adam_a = gpsig.training.AdamOptimizer(1e-2)
+    adam_a.minimize(m_a, maxiter=2)
+    adam_b = gpsig.training.AdamOptimizer(1e-5)
+    adam_b.learning_rate = 1e-2
+    adam_b.minimize(m_b, maxiter=2)
+    np.testing.assert_allclose(
+        np.asarray(m_a.to_functional().kernel.lengthscales),
+        np.asarray(m_b.to_functional().kernel.lengthscales), rtol=1e-10,
+    )
+
+
+def test_adam_freeze_variational_never_moves_q(data):
+    """freeze_variational must hold (q_mu, q_sqrt) exactly fixed even after
+    prior *unfrozen* steps on the same optimizer built nonzero Adam moments
+    (ADVICE round 1: shared state let stale moments keep moving q)."""
+    model = _tiny_svgp(data, seed=13)
+    adam = gpsig.training.AdamOptimizer(1e-2)
+    adam.minimize(model, maxiter=3, freeze_variational=False)  # builds moments
+    q_mu0 = np.asarray(model.to_functional().q_mu).copy()
+    q_sqrt0 = np.asarray(model.to_functional().q_sqrt).copy()
+    adam.minimize(model, maxiter=3, freeze_variational=True)
+    np.testing.assert_array_equal(np.asarray(model.to_functional().q_mu),
+                                  q_mu0)
+    np.testing.assert_array_equal(np.asarray(model.to_functional().q_sqrt),
+                                  q_sqrt0)
+
+
+def test_low_rank_landmarks_deterministic(data):
+    """Low-rank Gram values must not depend on which array touches the
+    kernel first (ADVICE round 1): X_example pins the landmarks, and a
+    fresh low_rank kernel can go straight into a compat SVGP (landmarks
+    come from the training data)."""
+    X, y = data
+    Xtest = X + 0.5  # a 'test set' with a different distribution
+    mk = lambda **kw: gpsig.kernels.SignatureRBF(
+        input_dim=L * D, num_features=D, num_levels=NL, low_rank=True,
+        num_components=16, **kw)
+    k1 = mk(X_example=X)
+    K_ref = k1.compute_K_symm(X)
+    # same X_example → same Grams regardless of call order
+    k2 = mk(X_example=X)
+    k2.compute_K_symm(Xtest)  # touch test data first
+    np.testing.assert_allclose(k2.compute_K_symm(X), K_ref, rtol=1e-12)
+    # fresh kernel straight into SVGP: no RuntimeError, landmarks from X_train
+    k3 = mk()
+    feat = gpsig.inducing_variables.InducingSequences(
+        np.asarray(0.3 * np.random.default_rng(5)
+                   .standard_normal((4, 5, D)).cumsum(1)))
+    model = gpsig.models.SVGP(X, y, k3, gpsig.likelihoods.MultiClass(C),
+                              feat=feat, num_latent=C)
+    np.testing.assert_allclose(k3.compute_K_symm(X), K_ref, rtol=1e-12)
+    assert np.isfinite(model.compute_log_likelihood_full())
