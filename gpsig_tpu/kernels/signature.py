@@ -42,8 +42,13 @@ Two Pallas engines exist, both TPU-only; everything else takes the XLA path
 - *Fully-fused Gram* (`ops/pallas/fused_gram.py` — base kernel + differencing
   + DP in VMEM, never materialises the [N², L, L] increment tensor):
   requires ``order == 1``, ``difference == True``, ``num_levels <= 7``,
-  ``num_lags == 0``, and an RBF or Linear base. Poly/Cosine bases,
-  ``difference=False``, lags, and higher orders fall back silently.
+  and an RBF or Linear base (lags are fine — lag augmentation happens
+  upstream of the kernel). Poly/Cosine bases, ``difference=False``, and
+  higher orders fall back silently.
+- *Fused tensor-vs-sequence* (`ops/pallas/tens_seq.py` — the SVGP training
+  covariance Kuf with inducing tensors): same applicability conditions as
+  the fully-fused Gram; dispatched when T·N clears `_FUSED_MIN_PAIRS` or
+  ``engine='pallas'``.
 - *Fused per-pair DP* (`ops/pallas/sig_gram.py` — XLA builds the increment
   tensor, Pallas runs the per-level recursion): any base kernel, any order;
   dispatched when the pair count clears `_FUSED_MIN_PAIRS` or
@@ -387,6 +392,18 @@ class SignatureKernel:
         Zs = self._scale_tensors(Z)
         Xs = self._augment(self._as_sequences(X))
         N, L, d = Xs.shape
+        rbf = self._fused_base_kind()
+        if rbf is not None and (
+            Zs.shape[0] * N >= self._FUSED_MIN_PAIRS
+            or self.engine == "pallas"
+        ):
+            from gpsig_tpu.ops.pallas.tens_seq import fused_tens_seq_levels
+
+            levels = fused_tens_seq_levels(
+                Zs, Xs, self.num_levels, rbf, increments,
+                mxu=self._mxu_mode(Xs),
+            )
+            return self._finish_tens_vs_seq(levels, Xs, return_levels)
         if increments:
             T, F = Zs.shape[0], Zs.shape[1]
             G = self.base.gram(Zs.reshape(T * F * 2, d), Xs.reshape(N * L, d))
@@ -404,6 +421,10 @@ class SignatureKernel:
         levels = sigops.signature_kern_tens_vs_seq(
             U, self.num_levels, self.order
         )  # [nl+1, T, N]
+        return self._finish_tens_vs_seq(levels, Xs, return_levels)
+
+    def _finish_tens_vs_seq(self, levels, Xs, return_levels):
+        """Shared normalisation + level weighting for K_tens_vs_seq."""
         if self.normalization:
             dx = self._K_levels_diag(Xs)  # [nl+1, N]
             norm = jnp.sqrt(jnp.maximum(dx, 1e-30))

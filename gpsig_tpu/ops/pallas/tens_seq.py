@@ -1,0 +1,241 @@
+"""Fused inducing-tensor-vs-sequence Pallas kernel: base kernel +
+increment/sequence differencing + the per-level 1-D DP in one VMEM pass.
+
+This is the SVGP *training* hot loop (reference:
+``gpsig/kernels.py::SignatureKernel.K_tens_vs_seq`` →
+``signature_algs.signature_kern_tens_vs_seq`` — SURVEY.md §3.1): every ELBO
+step evaluates Kuf[z, x] = ⟨z^{(m)}, S_m(x)⟩ for M≈500 inducing tensors
+against a minibatch. The XLA path materialises the [T, N, F, L] base-kernel
+tensor in HBM and runs Σ_m (m−1) cumsum+multiply passes over it; this
+kernel streams everything through VMEM instead.
+
+Layout (flagship shape M≈500, B≈50, L≈50, levels 4–5):
+
+- **lanes = inducing tensors** (T pads to a multiple of 128 — full lanes at
+  M=500, the reference's benchmark scale), grid = (T/128, N): one sequence
+  against a 128-tensor block per step.
+- Per step: the base-kernel slab K[f, i, t] for all F factor rows is built
+  by d broadcast-FMAs per factor ([Lp, 1] x-channel × [1, 128] z-row — VPU
+  work, exact f32), pair-differenced (``increments``), then differenced
+  along the sequence axis as ONE [Lp, Lp]·[Lp, F·128] structural-bidiagonal
+  MXU matmul.
+- The level-m DP E ← U_{m,a} ⊙ ecumsum(E) runs all levels batched along
+  lanes (E: [Lp, nl·128]): each of the nl−1 steps is one strictly-lower-
+  triangular [Lp, Lp]·[Lp, nl·128] MXU matmul plus a masked elementwise
+  update — finished levels (m ≤ a) are frozen by a lane-block mask.
+- HBM traffic: Z + X + [N, levels, T] out; nothing O(T·N·F·L) is ever
+  materialised.
+
+Backward: custom_vjp recomputes through the mathematically identical XLA
+path (at the training shape the [T, N, F, L] intermediate is ~75 MB — well
+inside HBM; the *forward* is the per-step cost center, and prediction-time
+Kuf at large N never pays the HBM wall).
+
+Supports order=1, difference=True (the reference benchmarks' setting);
+other configurations take the XLA path (see kernels/signature.py docstring,
+"Engine coverage").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpsig_tpu.ops import signature as sigops
+from gpsig_tpu.ops.pallas.fused_gram import (
+    _LANE,
+    _LEVROWS,
+    _default_mxu,
+    _dmat,
+    _mxu_dot,
+    _round_up,
+    _sl,
+)
+
+
+def _tens_seq_kernel(z_ref, x_ref, out_ref, *, L, d, num_levels, rbf,
+                     increments, mxu):
+    """z_ref: [F2, d, 128] (factor-major tensor lanes); x_ref: [1, Lp, d]
+    (one sequence, rows pre-padded); out_ref: [1, _LEVROWS, 128]."""
+    dt = x_ref.dtype
+    Lp = x_ref.shape[1]
+    nl = num_levels
+    F = nl * (nl + 1) // 2
+    F2 = z_ref.shape[0]
+
+    # x channel columns broadcast across the 128 tensor lanes
+    xcols = []
+    nx = jnp.zeros((Lp, _LANE), dt)
+    for dd in range(d):
+        xc = jnp.broadcast_to(x_ref[0, :, dd : dd + 1], (Lp, _LANE))
+        xcols.append(xc)
+        nx = nx + xc * xc
+
+    def kblock(f):
+        """Base-kernel slab for factor row f: [Lp, 128]."""
+        G = jnp.zeros((Lp, _LANE), dt)
+        nz = jnp.zeros((1, _LANE), dt)
+        for dd in range(d):
+            zr = z_ref[f, dd : dd + 1, :]  # [1, 128]
+            G = G + xcols[dd] * zr
+            nz = nz + zr * zr
+        if not rbf:
+            return G
+        return jnp.exp(-0.5 * (nx + nz - 2.0 * G))
+
+    # raw factor slabs, pair-differenced when factors are RKHS increments
+    if increments:
+        slabs = [kblock(2 * f + 1) - kblock(2 * f) for f in range(F)]
+    else:
+        slabs = [kblock(f) for f in range(F)]
+
+    # difference along the sequence axis: one structural-bidiagonal matmul
+    # over all factor rows at once (also zeroes the padded rows i >= L-1)
+    Dm = _dmat(Lp, L, dt)
+    U = _mxu_dot(Dm, jnp.concatenate(slabs, axis=1), mxu, "right").astype(dt)
+
+    def ublock(f):
+        return U[:, f * _LANE : (f + 1) * _LANE]
+
+    # level-major DP, all levels batched along lanes. Level m (1-based)
+    # occupies lane block m-1; its factor rows start at off_m = m(m-1)/2.
+    off = [m * (m - 1) // 2 for m in range(1, nl + 1)]
+    E = jnp.concatenate([ublock(off[m - 1]) for m in range(1, nl + 1)],
+                        axis=1)  # [Lp, nl*128]
+    SL = _sl(Lp, dt)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (Lp, nl * _LANE), 1) // _LANE
+    for a in range(1, nl):
+        Ecum = _mxu_dot(SL, E, mxu, "right").astype(dt)
+        Ua = jnp.concatenate(
+            [
+                ublock(off[m - 1] + a) if m > a else ublock(off[m - 1])
+                for m in range(1, nl + 1)
+            ],
+            axis=1,
+        )
+        E = jnp.where(blk >= a, Ua * Ecum, E)
+
+    # per-level sums -> output rows (level 0 is the constant 1)
+    levrow = jax.lax.broadcasted_iota(jnp.int32, (_LEVROWS, _LANE), 0)
+    acc = jnp.where(levrow == 0, jnp.asarray(1.0, dt), 0.0)
+    for m in range(1, nl + 1):
+        km = jnp.sum(E[:, (m - 1) * _LANE : m * _LANE], axis=0,
+                     keepdims=True)
+        acc = acc + jnp.where(levrow == m, km, 0.0)
+    out_ref[0] = acc
+
+
+def _xla_reference_tens_seq(Z, X, num_levels, rbf, increments):
+    """Mathematically identical XLA path (also the VJP route). Z, X are
+    pre-scaled; mirrors kernels/signature.py::K_tens_vs_seq with order=1,
+    difference=True."""
+    T, F = Z.shape[0], Z.shape[1]
+    N, L, d = X.shape
+    z2 = Z.reshape(-1, d)
+    x2 = X.reshape(-1, d)
+    if rbf:
+        nz = jnp.sum(z2 * z2, -1)
+        nx = jnp.sum(x2 * x2, -1)
+        G = jnp.exp(
+            -0.5
+            * jnp.maximum(
+                nz[:, None]
+                + nx[None, :]
+                - 2.0 * jnp.matmul(z2, x2.T, precision="highest"),
+                0.0,
+            )
+        )
+    else:
+        G = jnp.matmul(z2, x2.T, precision="highest")
+    if increments:
+        G = G.reshape(T, F, 2, N, L)
+        G = G[:, :, 1] - G[:, :, 0]
+    else:
+        G = G.reshape(T, F, N, L)
+    U = G[..., 1:] - G[..., :-1]
+    U = jnp.moveaxis(U, 1, 2)  # [T, N, F, L-1]
+    return sigops.signature_kern_tens_vs_seq(U, num_levels, order=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_tens_seq_levels(Z, X, num_levels, rbf=True, increments=False,
+                          interpret=False, mxu=None):
+    """[nl+1, T, N] per-level ⟨z^{(m)}, S_m(x)⟩, fully fused.
+
+    Z: [T, F, d] (or [T, F, 2, d] with ``increments``) pre-scaled factor
+    stacks; X: [N, L, d] pre-scaled sequences. order=1, difference=True
+    semantics; num_levels <= 7. ``mxu`` as in fused_gram_levels."""
+    return _tens_seq_fwd_impl(Z, X, num_levels, rbf, increments, interpret,
+                              mxu)
+
+
+def _tens_seq_fwd_impl(Z, X, num_levels, rbf, increments, interpret,
+                       mxu=None):
+    if mxu is None:
+        mxu = _default_mxu()
+    if num_levels + 1 > _LEVROWS:
+        raise ValueError("fused kernel supports num_levels <= 7")
+    F = sigops.tensor_factor_count(num_levels)
+    if Z.shape[1] != F:
+        raise ValueError(f"Z must have F={F} factor rows; got {Z.shape}")
+    T = Z.shape[0]
+    N, L, d = X.shape
+    Lp = _round_up(L, 8)
+    Tp = _round_up(T, _LANE)
+    F2 = 2 * F if increments else F
+    # [T, F(,2), d] -> [F2, d, Tp]
+    Zt = jnp.moveaxis(Z.reshape(T, F2, d), 0, -1)
+    if Tp != T:
+        Zt = jnp.pad(Zt, ((0, 0), (0, 0), (0, Tp - T)))
+    Xp = jnp.pad(X, ((0, 0), (0, Lp - L), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(
+            _tens_seq_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf,
+            increments=increments, mxu=mxu,
+        ),
+        grid=(Tp // _LANE, N),
+        in_specs=[
+            pl.BlockSpec((F2, d, _LANE), lambda i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lp, d), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _LEVROWS, _LANE), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, _LEVROWS, Tp), X.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (Tp // _LANE) * N * Lp * Lp
+            * (F + num_levels * max(num_levels - 1, 1)) * _LANE,
+            bytes_accessed=4 * (F2 * d * Tp + N * Lp * d
+                                + N * _LEVROWS * Tp),
+            transcendentals=Tp * N * L * F2 if rbf else 0,
+        ),
+    )(Zt, Xp)
+    return jnp.transpose(out[:, : num_levels + 1, :T], (1, 2, 0))
+
+
+def _tens_seq_vjp_fwd(Z, X, num_levels, rbf, increments, interpret, mxu):
+    return (
+        _tens_seq_fwd_impl(Z, X, num_levels, rbf, increments, interpret,
+                           mxu),
+        (Z, X),
+    )
+
+
+def _tens_seq_vjp_bwd(num_levels, rbf, increments, interpret, mxu, res, g):
+    Z, X = res
+    _, vjp = jax.vjp(
+        lambda z, x: _xla_reference_tens_seq(z, x, num_levels, rbf,
+                                             increments),
+        Z,
+        X,
+    )
+    return vjp(g)
+
+
+fused_tens_seq_levels.defvjp(_tens_seq_vjp_fwd, _tens_seq_vjp_bwd)

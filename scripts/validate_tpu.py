@@ -197,6 +197,49 @@ def job_fused_mxu():
               f"({R * N * N / t:.0f} entries/s)")
 
 
+def job_tens_seq():
+    """Fused K_tens_vs_seq at the reference's flagship SVGP shape
+    (M=500 inducing tensors, levels 5, B=50 minibatch): compiled parity
+    vs the XLA path + amortized timing in both MXU modes."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops.pallas import tens_seq as ts
+    from gpsig_tpu.ops.signature import tensor_factor_count
+
+    T, N, L, d, nl, R = 500, 50, 50, 3, 5, 16
+    F = tensor_factor_count(nl)
+    rng = np.random.default_rng(0)
+    Z = jnp.asarray(0.3 * rng.standard_normal((T, F, 2, d)), jnp.float32)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    want = np.asarray(jax.jit(
+        lambda z, x: ts._xla_reference_tens_seq(z, x, nl, True, True)
+    )(Z, X))
+    scale = np.abs(want).max(axis=(1, 2), keepdims=True) + 1e-30
+    for mode in ("highest", "split"):
+        fn = jax.jit(lambda z, x, mode=mode: ts.fused_tens_seq_levels(
+            z, x, nl, True, True, False, mode))
+        got = np.asarray(fn(Z, X))
+        err = np.max(np.abs(got - want) / scale)
+        rep = jax.jit(lambda z, x, s, mode=mode: jax.lax.scan(
+            lambda c, e: (c, jnp.sum(ts.fused_tens_seq_levels(
+                z, x * (1.0 + e), nl, True, True, False, mode))),
+            0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
+        np.asarray(rep(Z, X, jnp.float32(0)))
+        t = _median_time(lambda i: np.asarray(rep(Z, X, jnp.float32(i))))
+        print(f"tens_seq mxu={mode}: scaled err {err:.2e}  "
+              f"{t/R*1e3:.2f} ms/Kuf ({R * T * N / t:.0f} entries/s)")
+    # XLA path timing at the same shape for the PERF.md comparison row
+    repx = jax.jit(lambda z, x, s: jax.lax.scan(
+        lambda c, e: (c, jnp.sum(ts._xla_reference_tens_seq(
+            z, x * (1.0 + e), nl, True, True))),
+        0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
+    np.asarray(repx(Z, X, jnp.float32(0)))
+    t = _median_time(lambda i: np.asarray(repx(Z, X, jnp.float32(i))))
+    print(f"tens_seq XLA path: {t/R*1e3:.2f} ms/Kuf "
+          f"({R * T * N / t:.0f} entries/s)")
+
+
 if __name__ == "__main__":
     job = sys.argv[1] if len(sys.argv) > 1 else "fused_fwd"
     t0 = time.time()
@@ -205,5 +248,6 @@ if __name__ == "__main__":
      "goursat": job_goursat,
      "goursat_sweep": job_goursat_sweep,
      "sig_gram_ho": job_sig_gram_ho,
-     "fused_mxu": job_fused_mxu}[job]()
+     "fused_mxu": job_fused_mxu,
+     "tens_seq": job_tens_seq}[job]()
     print(f"total {time.time()-t0:.1f} s")

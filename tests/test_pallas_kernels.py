@@ -273,3 +273,102 @@ def test_sig_gram_levels_padding_invariance():
     a = sig_gram_levels(M, 3, True)
     b = sig_gram_levels(Mp, 3, True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused tensor-vs-sequence kernel (SVGP training covariance Kuf)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("rbf", [True, False])
+@pytest.mark.parametrize("increments", [True, False])
+@pytest.mark.parametrize("nl", [2, 4, 5])
+def test_fused_tens_seq_matches_xla(rbf, increments, nl):
+    from gpsig_tpu.ops.pallas.tens_seq import (
+        _xla_reference_tens_seq,
+        fused_tens_seq_levels,
+    )
+    from gpsig_tpu.ops.signature import tensor_factor_count
+
+    rng = np.random.default_rng(10)
+    T, N, L, d = 7, 3, 11, 2
+    F = tensor_factor_count(nl)
+    shape = (T, F, 2, d) if increments else (T, F, d)
+    Z = jnp.asarray(0.4 * rng.standard_normal(shape), jnp.float32)
+    X = jnp.asarray(0.3 * rng.standard_normal((N, L, d)), jnp.float32)
+    got = fused_tens_seq_levels(Z, X, nl, rbf, increments, True)
+    want = _xla_reference_tens_seq(Z, X, nl, rbf, increments)
+    assert got.shape == (nl + 1, T, N)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_fused_tens_seq_grad_via_xla_recompute():
+    from gpsig_tpu.ops.pallas.tens_seq import (
+        _xla_reference_tens_seq,
+        fused_tens_seq_levels,
+    )
+    from gpsig_tpu.ops.signature import tensor_factor_count
+
+    rng = np.random.default_rng(11)
+    nl, T, N, L, d = 3, 4, 3, 8, 2
+    F = tensor_factor_count(nl)
+    Z = jnp.asarray(0.4 * rng.standard_normal((T, F, d)), jnp.float32)
+    X = jnp.asarray(0.3 * rng.standard_normal((N, L, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((nl + 1, T, N)), jnp.float32)
+    gz1, gx1 = jax.grad(
+        lambda z, x: jnp.sum(w * fused_tens_seq_levels(z, x, nl, True,
+                                                       False, True)),
+        argnums=(0, 1),
+    )(Z, X)
+    gz2, gx2 = jax.grad(
+        lambda z, x: jnp.sum(w * _xla_reference_tens_seq(z, x, nl, True,
+                                                         False)),
+        argnums=(0, 1),
+    )(Z, X)
+    np.testing.assert_allclose(np.asarray(gz1), np.asarray(gz2),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_kernel_layer_dispatches_fused_tens_seq(monkeypatch):
+    """engine='pallas' + interpret routes K_tens_vs_seq through the fused
+    kernel and agrees with engine='xla' (incl. normalization + variances)."""
+    from gpsig_tpu.kernels.signature import SignatureRBF
+    from gpsig_tpu.ops.pallas import tens_seq
+    from gpsig_tpu.ops.signature import tensor_factor_count
+
+    calls = {}
+    orig = tens_seq._tens_seq_fwd_impl
+
+    def spy(Z, X, num_levels, rbf, increments, interpret, mxu=None):
+        calls["hit"] = True
+        return orig(Z, X, num_levels, rbf, increments, True, mxu)
+
+    monkeypatch.setattr(tens_seq, "_tens_seq_fwd_impl", spy)
+    # normalization also dispatches the fused diag kernel; force interpret
+    from gpsig_tpu.ops.pallas import fused_gram
+
+    orig_diag = fused_gram._fused_diag_impl
+    monkeypatch.setattr(
+        fused_gram, "_fused_diag_impl",
+        lambda X, nl, rbf, interpret, mxu=None: orig_diag(X, nl, rbf, True,
+                                                          mxu),
+    )
+
+    rng = np.random.default_rng(12)
+    nl, T, N, L, d = 3, 5, 4, 9, 2
+    F = tensor_factor_count(nl)
+    Z = jnp.asarray(0.4 * rng.standard_normal((T, F, d)), jnp.float64)
+    X = jnp.asarray(0.3 * rng.standard_normal((N, L, d)), jnp.float64)
+    k_xla = SignatureRBF(d, nl, engine="xla", dtype=jnp.float64)
+    k_pal = SignatureRBF(d, nl, engine="pallas", dtype=jnp.float64)
+    want = k_xla.K_tens_vs_seq(Z, X)
+    got = k_pal.K_tens_vs_seq(Z, X)
+    assert calls.get("hit")
+    # the fused kernel's MXU matmuls accumulate in f32 (by design — see
+    # fused_gram._mxu_dot), so parity is at f32 resolution even under x64
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-7)
