@@ -80,17 +80,27 @@ def _mxu_dot(a, b, mode, data):
     a 0/±1 matrix). Returns float32 (the MXU accumulates in f32 in every
     mode; callers .astype back to the kernel dtype)."""
     if mode == "split":
+        # precision must be pinned to DEFAULT explicitly: these bf16 dots
+        # can be traced inside config.precise_linalg's
+        # default_matmul_precision("float32") context (the SVGP ELBO is),
+        # and Mosaic rejects bf16 operands with an fp32 contract precision
+        # ("Bad lhs type").
+        dflt = jax.lax.Precision.DEFAULT
         v = a if data == "left" else b
         hi = v.astype(jnp.bfloat16)
         lo = (v - hi.astype(v.dtype)).astype(jnp.bfloat16)
         if data == "left":
             s = b.astype(jnp.bfloat16)
-            return jnp.dot(hi, s, preferred_element_type=jnp.float32) + (
-                jnp.dot(lo, s, preferred_element_type=jnp.float32)
+            return jnp.dot(hi, s, preferred_element_type=jnp.float32,
+                           precision=dflt) + (
+                jnp.dot(lo, s, preferred_element_type=jnp.float32,
+                        precision=dflt)
             )
         s = a.astype(jnp.bfloat16)
-        return jnp.dot(s, hi, preferred_element_type=jnp.float32) + (
-            jnp.dot(s, lo, preferred_element_type=jnp.float32)
+        return jnp.dot(s, hi, preferred_element_type=jnp.float32,
+                       precision=dflt) + (
+            jnp.dot(s, lo, preferred_element_type=jnp.float32,
+                    precision=dflt)
         )
     prec = (
         jax.lax.Precision.HIGHEST

@@ -372,3 +372,29 @@ def test_kernel_layer_dispatches_fused_tens_seq(monkeypatch):
     # fused_gram._mxu_dot), so parity is at f32 resolution even under x64
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_mxu_split_precision_pinned_under_precise_linalg():
+    """Regression: the split-mode bf16 dots must carry an explicit DEFAULT
+    precision. The SVGP ELBO traces the fused kernels inside
+    config.precise_linalg (default_matmul_precision('float32')), and Mosaic
+    rejects bf16 matmul operands with an fp32 contract precision
+    ('Bad lhs type' — hit on-chip at the flagship config-2 shape)."""
+    import jax
+
+    from gpsig_tpu.ops.pallas.fused_gram import _mxu_dot
+
+    a = jnp.ones((8, 8), jnp.float32)
+    b = jnp.ones((8, 8), jnp.float32)
+    with jax.default_matmul_precision("float32"):
+        jaxpr = jax.make_jaxpr(lambda x, y: _mxu_dot(x, y, "split", "right"))(
+            a, b
+        )
+    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert dots, "expected dot_general eqns in split-mode _mxu_dot"
+    for e in dots:
+        prec = e.params.get("precision")
+        assert prec in (
+            None,
+            (jax.lax.Precision.DEFAULT, jax.lax.Precision.DEFAULT),
+        ), f"split-mode dot picked up context precision: {prec}"
