@@ -13,14 +13,48 @@ u = L v with q(v) = N(q_mu, q_sqrt q_sqrtᵀ) and p(v) = N(0, I).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import scipy as jsp
 
-from gpsig_tpu.config import precise_linalg
+from gpsig_tpu.config import default_jitter, precise_linalg
 
 
 def _is_diag(q_sqrt):
     return q_sqrt.ndim == 2
+
+
+def stable_cholesky(K, extra_levels=None):
+    """Cholesky with differentiable jitter escalation.
+
+    Inducing-tensor Gram matrices are structurally near-singular (the
+    factor tensors correlate strongly), and on TPU the *blocked* f32
+    Cholesky accumulates Schur-complement rounding ~M·eps·‖K‖ that can
+    exceed the base jitter — measured at M=500, num_levels=5: finite
+    minimum eigenvalue 1e-4, CPU LAPACK f32 fine, TPU chol NaN until
+    jitter 1e-3 (equilibration does NOT help — the ill-conditioning is
+    correlational, not diagonal scaling). This helper runs trial
+    factorisations under ``stop_gradient`` to pick the smallest extra
+    jitter whose Cholesky is finite, then performs ONE differentiable
+    Cholesky at that level — so gradients never see a NaN branch and the
+    jitter stays minimal when the matrix is healthy.
+
+    K must already include the caller's base jitter. Cost: len(levels)
+    value-only Cholesky trials + 1 real (O(M³) each — negligible next to
+    the O(N²L²)-class Gram work upstream).
+    """
+    dtype = K.dtype
+    if extra_levels is None:
+        base = default_jitter(dtype)
+        extra_levels = (0.0, 10.0 * base, 100.0 * base, 1000.0 * base)
+    M = K.shape[-1]
+    eye = jnp.eye(M, dtype=dtype)
+    Ks = jax.lax.stop_gradient(K)
+    chosen = jnp.asarray(extra_levels[-1], dtype)
+    for e in reversed(extra_levels):
+        ok = jnp.all(jnp.isfinite(jnp.linalg.cholesky(Ks + e * eye)))
+        chosen = jnp.where(ok, jnp.asarray(e, dtype), chosen)
+    return jnp.linalg.cholesky(K + chosen * eye)
 
 
 @precise_linalg
@@ -44,7 +78,7 @@ def gauss_kl(q_mu, q_sqrt, K=None, K_chol=None):
             logdet_q = 2.0 * jnp.sum(jnp.log(jnp.abs(diag)))
         return 0.5 * (mahal + trace - M * C - logdet_q)
 
-    L = K_chol if K_chol is not None else jnp.linalg.cholesky(K)
+    L = K_chol if K_chol is not None else stable_cholesky(K)
     if L.ndim == 2:
         L = jnp.broadcast_to(L, (C,) + L.shape)
     # mahalanobis: q_muᵀ K⁻¹ q_mu
@@ -92,7 +126,7 @@ def conditional(
 
     Returns (mean [N, C], var [N, C] or [C, N, N]).
     """
-    L = Kmm_chol if Kmm_chol is not None else jnp.linalg.cholesky(Kmm)
+    L = Kmm_chol if Kmm_chol is not None else stable_cholesky(Kmm)
     Aw = jsp.linalg.solve_triangular(L, Kmn, lower=True)  # L⁻¹Kmn, [M, N]
     if white:
         A = Aw

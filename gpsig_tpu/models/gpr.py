@@ -13,6 +13,7 @@ from jax import scipy as jsp
 from flax import struct
 
 from gpsig_tpu.config import default_jitter, precise_linalg
+from gpsig_tpu import gauss
 from gpsig_tpu.likelihoods import Gaussian
 
 
@@ -34,7 +35,7 @@ class GPR:
         Ky = K + (
             self.likelihood.variance + default_jitter(K.dtype)
         ) * jnp.eye(N, dtype=K.dtype)
-        L = jnp.linalg.cholesky(Ky)
+        L = gauss.stable_cholesky(Ky)
         Y = Y.reshape(N, -1)
         alpha = jsp.linalg.solve_triangular(L, Y, lower=True)
         C = Y.shape[1]
@@ -51,7 +52,7 @@ class GPR:
         Ky = K + (
             self.likelihood.variance + default_jitter(K.dtype)
         ) * jnp.eye(N, dtype=K.dtype)
-        L = jnp.linalg.cholesky(Ky)
+        L = gauss.stable_cholesky(Ky)
         Kmn = self.kernel.K(X, Xnew)  # [N, N*]
         A = jsp.linalg.solve_triangular(L, Kmn, lower=True)
         V = jsp.linalg.solve_triangular(L, Y.reshape(N, -1), lower=True)

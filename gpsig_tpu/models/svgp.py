@@ -122,7 +122,7 @@ class SVGP:
             kl = gauss.gauss_kl(self.q_mu, self._tril_q_sqrt())
         else:
             Kuu, Kuf = self._covariances(X)
-            L = jnp.linalg.cholesky(Kuu)
+            L = gauss.stable_cholesky(Kuu)
             fmean, fvar = gauss.conditional(
                 Kuf, Kuu, Knn, self.q_mu, self._tril_q_sqrt(),
                 white=self.whiten, Kmm_chol=L,

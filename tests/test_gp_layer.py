@@ -281,3 +281,38 @@ def test_f32_jitter_keeps_inducing_tensor_kuu_factorisable():
     assert ev.min() >= 0.5 * cfg.default_jitter(jnp.float32)
     L = np.asarray(jnp.linalg.cholesky(feat.Kuu(kern)))
     assert np.all(np.isfinite(L))
+
+
+def test_stable_cholesky_rescues_indefinite_matrix():
+    """TPU's blocked f32 Cholesky NaNs on matrices LAPACK survives (hit
+    on-chip at M=500 inducing tensors, num_levels=5 — Kuu min eig ≈ the
+    base jitter). stable_cholesky escalates jitter under stop_gradient and
+    must (a) leave healthy matrices untouched, (b) rescue matrices whose
+    plain Cholesky is NaN, (c) keep gradients finite either way."""
+    from gpsig_tpu import gauss
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((12, 12))
+    healthy = jnp.asarray(A @ A.T + 12 * np.eye(12))
+    L0 = gauss.stable_cholesky(healthy)
+    np.testing.assert_allclose(
+        np.asarray(L0), np.asarray(jnp.linalg.cholesky(healthy)), rtol=1e-12
+    )
+
+    # indefinite: min eig −1e-4 → plain chol NaN, escalation must fix it
+    Q, _ = np.linalg.qr(rng.standard_normal((12, 12)))
+    ev = np.linspace(1.0, 1e-3, 12)
+    ev[-1] = -1e-4
+    bad = jnp.asarray(Q @ np.diag(ev) @ Q.T)
+    assert not np.all(np.isfinite(np.asarray(jnp.linalg.cholesky(bad))))
+    Lb = gauss.stable_cholesky(bad)
+    assert np.all(np.isfinite(np.asarray(Lb)))
+    # the chosen level is the smallest that clears the deficit
+    resid = np.asarray(Lb @ Lb.T - bad)
+    assert np.abs(np.diag(resid)).max() < 2e-3
+
+    g = jax.grad(lambda K: jnp.sum(gauss.stable_cholesky(K)))(bad)
+    assert np.all(np.isfinite(np.asarray(g)))
+    g0 = jax.grad(lambda K: jnp.sum(gauss.stable_cholesky(K)))(healthy)
+    want = jax.grad(lambda K: jnp.sum(jnp.linalg.cholesky(K)))(healthy)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(want), rtol=1e-10)
