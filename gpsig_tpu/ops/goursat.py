@@ -269,19 +269,113 @@ def _corner_fast_impl(inc, interpret=False):
 goursat_corner_fast.defvjp(_corner_fwd, _corner_bwd)
 
 
+def unskew_grad(skew_grad, Su, Tu):
+    """[B, Su+Tu-1, Sp_u] skewed gradient (from
+    ``goursat_pallas.goursat_grad_fused``) → dense [B, Su, Tu]:
+    grad[b, I, J] = skew[b, I+J, I+1]."""
+    I = jnp.arange(Su)[:, None]
+    J = jnp.arange(Tu)[None, :]
+    return skew_grad[:, I + J, I + 1]
+
+
+# VMEM budget for the fused backward's u-diagonal store (v5e has ~16 MB
+# VMEM/core; leave headroom for carries, IO blocks and the expansion
+# matrix). Shapes that exceed it fall back to the scan adjoint.
+_FUSED_GRAD_VMEM_BUDGET = 12_500_000
+
+
+def _fused_block_pairs(Su, Tu, dyadic_order):
+    """Largest multiple-of-8 pair block whose u-store fits the budget
+    (0 = does not fit even at the minimum block)."""
+    from gpsig_tpu.ops.pallas.goursat_pallas import fused_grad_vmem_bytes
+
+    per8 = fused_grad_vmem_bytes(Su, Tu, dyadic_order, 8)
+    if per8 > _FUSED_GRAD_VMEM_BUDGET:
+        return 0
+    return 8 * min(8, _FUSED_GRAD_VMEM_BUDGET // per8)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def goursat_corner_refined(inc, dyadic_order):
+    """u(S·f, T·f) of the dyadically refined Goursat solve from the
+    *unrefined* increments inc [..., Su, Tu] → [...].
+
+    On TPU both the primal and the gradient are fused Pallas wavefront
+    kernels with in-kernel refinement (nothing 4^order-sized ever touches
+    HBM — the TPU analogue of the reference CUDA op's forward + adjoint
+    launches, SURVEY.md §2.2/§3.4); elsewhere (and for shapes whose
+    u-diagonal store exceeds VMEM) it is the refine→scan path."""
+    return _corner_refined_impl(inc, dyadic_order)
+
+
+def _use_pallas_goursat():
+    return jax.default_backend() not in ("cpu",)
+
+
+def _corner_refined_impl(inc, dyadic_order, interpret=False):
+    if not interpret and not _use_pallas_goursat():
+        return _forward_scan(refine_increments(inc, dyadic_order))[1]
+    from gpsig_tpu.ops.pallas.goursat_pallas import goursat_corner_fused
+
+    Su, Tu = inc.shape[-2], inc.shape[-1]
+    batch = inc.shape[:-2]
+    flat = inc.reshape((-1, Su, Tu))
+    B = flat.shape[0]
+    bb = min(512, max(8, -(-B // 8) * 8))
+    out = goursat_corner_fused(
+        skewpad_diag_major(flat), Su, Tu, dyadic_order, block_pairs=bb,
+        interpret=interpret,
+    )
+    return out.reshape(batch)
+
+
+def _corner_refined_fwd(inc, dyadic_order):
+    return _corner_refined_impl(inc, dyadic_order), inc
+
+
+def _corner_refined_bwd_impl(inc, dyadic_order, gbar, interpret=False):
+    Su, Tu = inc.shape[-2], inc.shape[-1]
+    bb = _fused_block_pairs(Su, Tu, dyadic_order)
+    if bb == 0 or (not interpret and not _use_pallas_goursat()):
+        # scan fallback: adjoint on the refined grid + AD through refine
+        _, vjp = jax.vjp(
+            lambda a: goursat_corner(refine_increments(a, dyadic_order)),
+            inc,
+        )
+        return vjp(gbar)
+    from gpsig_tpu.ops.pallas.goursat_pallas import goursat_grad_fused
+
+    batch = inc.shape[:-2]
+    flat = inc.reshape((-1, Su, Tu))
+    sg = goursat_grad_fused(
+        skewpad_diag_major(flat), Su, Tu, dyadic_order, block_pairs=bb,
+        interpret=interpret,
+    )
+    grad = unskew_grad(sg, Su, Tu).reshape(batch + (Su, Tu))
+    return (grad * gbar[..., None, None],)
+
+
+def _corner_refined_bwd(dyadic_order, inc, gbar):
+    return _corner_refined_bwd_impl(inc, dyadic_order, gbar)
+
+
+goursat_corner_refined.defvjp(_corner_refined_fwd, _corner_refined_bwd)
+
+
 def signature_kernel_pde(inc, dyadic_order=0, engine="auto"):
     """Untruncated signature kernel from a raw increment grid.
 
     inc: [..., Lx-1, Ly-1] increment inner products (double-differenced
     base-kernel Gram). Returns [...] kernel values.
 
-    engine: 'auto' = Pallas wavefront for the primal on TPU (scan under AD
-    and on CPU); 'scan' forces the lax.scan wavefront everywhere.
+    engine: 'auto'/'pallas' = fused Pallas wavefront on TPU for both the
+    primal and the adjoint-PDE gradient (in-kernel dyadic refinement; the
+    refined grid never touches HBM), scan elsewhere; 'scan' forces the
+    lax.scan wavefront everywhere (refines in HBM).
     """
-    inc = refine_increments(inc, dyadic_order)
     if engine == "scan":
-        return goursat_corner(inc)
+        return goursat_corner(refine_increments(inc, dyadic_order))
     if engine not in ("auto", "pallas"):
         raise ValueError(f"unknown goursat engine {engine!r} "
                          "(expected 'auto', 'pallas', or 'scan')")
-    return goursat_corner_fast(inc)
+    return goursat_corner_refined(inc, dyadic_order)
