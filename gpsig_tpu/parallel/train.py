@@ -43,8 +43,9 @@ def _local_elbo(model, X, Y, num_data, key, n_shards):
         Kuu = model.inducing.Kuu(model.kernel)
         Kuf = model.inducing.Kuf(model.kernel, X)
     Knn = model.kernel.Kdiag(X)
-    L = jnp.linalg.cholesky(Kuu)
     from gpsig_tpu import gauss
+
+    L = gauss.stable_cholesky(Kuu)
 
     fmean, fvar = gauss.conditional(
         Kuf, Kuu, Knn, model.q_mu, model._tril_q_sqrt(),
