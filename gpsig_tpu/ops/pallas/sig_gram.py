@@ -32,8 +32,10 @@ Order >= 2 (the reference's higher-order correction,
 DP states D_{r,s} (see ``gpsig_tpu/ops/signature.py``) are [L1, L2] VMEM
 arrays and every exclusive cumsum is a triangular matmul — row cumsums
 ``X·SU``, column cumsums ``SL·X``, the double cumsum ``SL·X·SU``. Its
-backward recomputes through the (mathematically identical) XLA recursion;
-the fused adjoint kernel exists for order 1 (the benchmarks' hot path).
+backward is fused too (``_bwd_kernel_ho``): a forward recompute keeping
+all ≤ p²·num_levels DP states resident in VMEM, then the hand-derived
+adjoint of the run-length recursion — higher-order *training* never
+round-trips the [B, L1, L2] tensor through HBM either.
 """
 
 from __future__ import annotations
@@ -176,6 +178,130 @@ def _fwd_kernel_ho(m_ref, out_ref, *, num_levels, order):
     out_ref[0] = out
 
 
+def _fwd_ho_states(M, SL, SU, num_levels, order, mxu):
+    """Run the higher-order forward, returning per-level DP states and the
+    triangular-matmul products the adjoint needs.
+
+    Returns (Ds, hist): Ds[m-1] = level-m state grid (p×p, None where a
+    state does not exist yet); hist[m-2] = (TOP, rowsU, colsL) for level m
+    with TOP = SL·total·SU, rowsU[r] = rowsum_{r-1}·SU,
+    colsL[r] = SL·colsum_{r-1}."""
+
+    def tree_sum(items):
+        acc = None
+        for it in items:
+            if it is None:
+                continue
+            acc = it if acc is None else acc + it
+        return acc
+
+    p = min(order, num_levels)
+    D = [[None] * p for _ in range(p)]
+    D[0][0] = M
+    Ds = [D]
+    hist = []
+    for m in range(2, num_levels + 1):
+        R = min(p, m)
+        Dn = [[None] * p for _ in range(p)]
+        total = tree_sum(d for row in D for d in row)
+        TOP = _dot_sr(_dot_sl(SL, total, mxu), SU, mxu)
+        Dn[0][0] = M * TOP
+        rowsU, colsL = {}, {}
+        for r in range(1, R):
+            row = tree_sum(D[r - 1])
+            if row is not None:
+                rowsU[r] = _dot_sr(row, SU, mxu)
+                Dn[r][0] = (M / (r + 1)) * rowsU[r]
+            col = tree_sum(D[s][r - 1] for s in range(p))
+            if col is not None:
+                colsL[r] = _dot_sl(SL, col, mxu)
+                Dn[0][r] = (M / (r + 1)) * colsL[r]
+        for r in range(1, R):
+            for s in range(1, R):
+                if D[r - 1][s - 1] is not None:
+                    Dn[r][s] = (M / ((r + 1) * (s + 1))) * D[r - 1][s - 1]
+        hist.append((TOP, rowsU, colsL))
+        Ds.append(Dn)
+        D = Dn
+    return Ds, hist
+
+
+def _bwd_kernel_ho(m_ref, w_ref, gm_ref, *, num_levels, order):
+    """Fused higher-order backward: forward recompute keeping all run-length
+    DP states in VMEM, then the adjoint recursion level-by-level — order≥2
+    training never re-materialises the [B, L1, L2] tensor through XLA."""
+    M = m_ref[0]
+    dt = M.dtype
+    L1, L2 = M.shape
+    mxu = _default_mxu()
+    SL = _tri(L1, dt, strictly_lower=True)
+    SU = _tri(L2, dt, strictly_lower=False)
+    SLT, SUT = SL.T, SU.T
+    w = w_ref[0]  # [1, 128]; w[0, m] = cotangent of level m
+    p = min(order, num_levels)
+
+    Ds, hist = _fwd_ho_states(M, SL, SU, num_levels, order, mxu)
+
+    def bc(x):
+        return jnp.broadcast_to(x, (L1, L2))
+
+    # level-num_levels cotangents: every existing state feeds k_nl
+    gD = [
+        [
+            bc(w[0, num_levels]) if Ds[-1][r][s] is not None else None
+            for s in range(p)
+        ]
+        for r in range(p)
+    ]
+    gM = jnp.zeros_like(M)
+    for m in range(num_levels, 1, -1):
+        TOP, rowsU, colsL = hist[m - 2]
+        Dprev = Ds[m - 2]
+        R = min(p, m)
+        # start level-(m-1) cotangents with the k_{m-1} sum contribution
+        gprev = [
+            [
+                bc(w[0, m - 1]) if Dprev[r][s] is not None else None
+                for s in range(p)
+            ]
+            for r in range(p)
+        ]
+        # Dn[0][0] = M ⊙ (SL·total·SU): flows to M and to every prev state
+        g00 = gD[0][0]
+        gM = gM + TOP * g00
+        T = _dot_sr(_dot_sl(SLT, M * g00, mxu), SUT, mxu)
+        for r in range(p):
+            for s in range(p):
+                if gprev[r][s] is not None:
+                    gprev[r][s] = gprev[r][s] + T
+        for r in range(1, R):
+            if r in rowsU and gD[r][0] is not None:
+                # Dn[r][0] = (M/(r+1)) ⊙ (rowsum_{r-1}·SU)
+                gM = gM + rowsU[r] * gD[r][0] / (r + 1)
+                Ur = _dot_sr(M * gD[r][0], SUT, mxu) / (r + 1)
+                for s in range(p):
+                    if gprev[r - 1][s] is not None:
+                        gprev[r - 1][s] = gprev[r - 1][s] + Ur
+            if r in colsL and gD[0][r] is not None:
+                # Dn[0][r] = (M/(r+1)) ⊙ (SL·colsum_{r-1})
+                gM = gM + colsL[r] * gD[0][r] / (r + 1)
+                Vr = _dot_sl(SLT, M * gD[0][r], mxu) / (r + 1)
+                for a in range(p):
+                    if gprev[a][r - 1] is not None:
+                        gprev[a][r - 1] = gprev[a][r - 1] + Vr
+        for r in range(1, R):
+            for s in range(1, R):
+                if gD[r][s] is not None and Dprev[r - 1][s - 1] is not None:
+                    c = 1.0 / ((r + 1) * (s + 1))
+                    gM = gM + Dprev[r - 1][s - 1] * gD[r][s] * c
+                    gprev[r - 1][s - 1] = gprev[r - 1][s - 1] + M * gD[
+                        r
+                    ][s] * c
+        gD = gprev
+    gM = gM + gD[0][0]  # D_1[0][0] = M
+    gm_ref[0] = gM
+
+
 def _pad_m(M):
     B, L1, L2 = M.shape
     P1, P2 = _round_up(L1, 8), _round_up(L2, _LANE)
@@ -292,10 +418,38 @@ def _vjp_ho_fwd(M, num_levels, order, interpret):
 
 
 def _vjp_ho_bwd(num_levels, order, interpret, M, w):
-    _, vjp = jax.vjp(
-        lambda m: sigops.signature_kern(m, num_levels, order), M
-    )
-    return vjp(w.astype(M.dtype))
+    return (_sig_gram_ho_bwd_impl(M, w, num_levels, order, interpret),)
+
+
+def _sig_gram_ho_bwd_impl(M, w, num_levels, order, interpret):
+    B, L1o, L2o = M.shape
+    Mp = _pad_m(M)
+    _, L1, L2 = Mp.shape
+    wp = jnp.zeros((B, 1, _LANE), M.dtype)
+    wp = wp.at[:, 0, : num_levels + 1].set(w.T.astype(M.dtype))
+    gM = pl.pallas_call(
+        functools.partial(_bwd_kernel_ho, num_levels=num_levels,
+                          order=order),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L1, L2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L1, L2), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L1, L2), M.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * max(num_levels - 1, 0)
+            * (2 * min(order, num_levels) + 3)
+            * (L1 * L1 * L2 + L1 * L2 * L2),
+            bytes_accessed=4 * B * 2 * L1 * L2,
+            transcendentals=0,
+        ),
+    )(Mp, wp)
+    return gM[:, :L1o, :L2o]
 
 
 sig_gram_levels_ho.defvjp(_vjp_ho_fwd, _vjp_ho_bwd)
