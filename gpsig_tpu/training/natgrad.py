@@ -58,11 +58,26 @@ def gaussian_natgrad_update(mu, S, g_mu, g_S, gamma, jitter=1e-8,
     step whose new precision stays Cholesky-factorisable (per latent);
     falls back to no-op if all fail."""
     if diag:
+        # same per-latent γ-backoff as the full-covariance path: a flat
+        # floor on the new precision is NOT enough — one aggressive
+        # non-conjugate step (g_S > prec/2γ, routine for MultiClass at
+        # init with minibatch scaling) would pin the precision at the
+        # floor, inflate S by orders of magnitude and explode the KL
+        # (observed: ELBO -1e19 at step 0 on the VOSF/q_diag path).
         prec = 1.0 / S
-        prec_new = jnp.maximum(prec - 2.0 * gamma * g_S, jitter)
-        S_new = 1.0 / prec_new
-        mu_new = S_new * (prec * mu + gamma * (g_mu - 2.0 * g_S * mu))
-        return mu_new, jnp.sqrt(S_new)
+        mu_out, s_out = mu, S
+        done = jnp.zeros((mu.shape[1],), bool)
+        for scale in _BACKOFF:
+            g = gamma * scale
+            prec_new = prec - 2.0 * g * g_S
+            ok = jnp.all(prec_new > jitter, axis=0)  # [C]
+            S_new = 1.0 / jnp.maximum(prec_new, jitter)
+            mu_new = S_new * (prec * mu + g * (g_mu - 2.0 * g_S * mu))
+            take = ok & ~done
+            mu_out = jnp.where(take[None, :], mu_new, mu_out)
+            s_out = jnp.where(take[None, :], S_new, s_out)
+            done = done | ok
+        return mu_out, jnp.sqrt(s_out)
 
     g_S = 0.5 * (g_S + jnp.swapaxes(g_S, -1, -2))
     M = mu.shape[0]

@@ -316,3 +316,31 @@ def test_stable_cholesky_rescues_indefinite_matrix():
     g0 = jax.grad(lambda K: jnp.sum(gauss.stable_cholesky(K)))(healthy)
     want = jax.grad(lambda K: jnp.sum(jnp.linalg.cholesky(K)))(healthy)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(want), rtol=1e-10)
+
+
+def test_natgrad_diag_backoff_keeps_precision_positive():
+    """The diagonal natgrad path must back off gamma (per latent) when the
+    new precision S^-1 - 2*gamma*g_S would go negative, instead of pinning
+    it at the jitter floor (which inflated S by 1e8 and exploded the KL on
+    the VOSF q_diag path at step 0)."""
+    from gpsig_tpu.training.natgrad import gaussian_natgrad_update
+
+    M, C = 4, 2
+    mu = jnp.zeros((M, C))
+    S = jnp.ones((M, C))
+    g_mu = jnp.ones((M, C))
+    # latent 0: benign (full step ok); latent 1: aggressive (needs backoff)
+    g_S = jnp.stack([jnp.full((M,), -0.5), jnp.full((M,), 50.0)], axis=1)
+    mu2, qs = gaussian_natgrad_update(mu, S, g_mu, g_S, gamma=0.3,
+                                      diag=True)
+    S_new = np.asarray(qs) ** 2
+    assert S_new.max() < 10.0, S_new.max()
+    assert np.all(S_new > 0)
+    # benign latent took the full step: S' = 1/(1 + 2*0.3*0.5) = 1/1.3
+    np.testing.assert_allclose(S_new[:, 0], 1.0 / 1.3, rtol=1e-6)
+    # hopeless gradient: no scale keeps precision positive -> no-op
+    g_S_bad = jnp.full((M, C), 1000.0)
+    mu3, qs3 = gaussian_natgrad_update(mu, S, g_mu, g_S_bad, gamma=0.3,
+                                       diag=True)
+    np.testing.assert_allclose(np.asarray(qs3), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mu3), 0.0, atol=1e-12)
