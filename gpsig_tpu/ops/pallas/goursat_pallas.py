@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gpsig_tpu.ops.pallas.fused_gram import _mxu_dot
+
 _LANE = 128
 
 
@@ -174,10 +176,11 @@ def _refined_col(colA, colB, c, lg, S, T, Sp_r, E, dt):
         return jnp.where(valid, colA[:, :Sp_r], jnp.asarray(0.0, dt))
     f = 1 << lg
     rsum = (I % f) + (J % f)
-    expA = jnp.dot(colA, E, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.DEFAULT).astype(dt)
-    expB = jnp.dot(colB, E, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.DEFAULT).astype(dt)
+    # the expansion is a gather through a one-hot matrix: the data operand
+    # must keep full f32 precision (a DEFAULT 1-pass bf16 matmul rounds the
+    # increments to 8 mantissa bits → 4e-3 kernel error, measured on-chip)
+    expA = _mxu_dot(colA, E, "highest", "left").astype(dt)
+    expB = _mxu_dot(colB, E, "highest", "left").astype(dt)
     inv_f2 = 1.0 / (f * f)
     out = jnp.where(rsum < f, expA, expB) * inv_f2
     return jnp.where(valid, out, jnp.asarray(0.0, dt))
@@ -334,15 +337,10 @@ def _fused_kernel(colA_ref, colB_ref, out_ref, prev_ref, prev2_ref,
             qqA = jnp.clip(c_e >> lg, 0, Du_cols - 1)
             qqB = jnp.clip((c_e >> lg) - 1, 0, Du_cols - 1)
             ET = E.T  # [Sp_r, Sp_u]
-            contribA = jnp.dot(
-                gradcol * maskA, ET, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            ).astype(dt) * inv_f2
-            contribB = jnp.dot(
-                gradcol * (1.0 - maskA), ET,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            ).astype(dt) * inv_f2
+            contribA = _mxu_dot(gradcol * maskA, ET, "highest",
+                                "left").astype(dt) * inv_f2
+            contribB = _mxu_dot(gradcol * (1.0 - maskA), ET, "highest",
+                                "left").astype(dt) * inv_f2
             out_ref[pl.ds(qqA, 1)] += contribA[None]
             out_ref[pl.ds(qqB, 1)] += contribB[None]
 

@@ -240,6 +240,60 @@ def job_tens_seq():
           f"({R * T * N / t:.0f} entries/s)")
 
 
+def job_goursat_fused():
+    """Fused Goursat forward + adjoint with in-kernel dyadic refinement:
+    on-chip parity vs the scan path and amortized timing at dyadic_order=2
+    (the PDE-kernel training shape: L=50, refined 196x196 grids)."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops import goursat as g
+
+    Su = Tu = 49
+    B, o, R = 64, 2, 8
+    rng = np.random.default_rng(0)
+    x = (0.25 * rng.standard_normal((B, Su + 1, 3))).cumsum(1)
+    y = (0.25 * rng.standard_normal((B, Tu + 1, 3))).cumsum(1)
+    dx = np.diff(x, axis=1)
+    dy = np.diff(y, axis=1)
+    inc = jnp.asarray(np.einsum("bif,bjf->bij", dx, dy), jnp.float32)
+
+    want_c = np.asarray(jax.jit(
+        lambda a: g.goursat_corner(g.refine_increments(a, o)))(inc))
+    got_c = np.asarray(jax.jit(
+        lambda a: g._corner_refined_impl(a, o))(inc))
+    sc = np.abs(want_c).max() + 1e-12
+    print(f"goursat_fused corner rel-err {np.abs(got_c-want_c).max()/sc:.2e}")
+
+    gbar = jnp.asarray(rng.standard_normal(B), jnp.float32)
+    want_g = np.asarray(jax.jit(jax.grad(lambda a: jnp.sum(
+        gbar * g.goursat_corner(g.refine_increments(a, o)))))(inc))
+    got_g = np.asarray(jax.jit(
+        lambda a: g._corner_refined_bwd_impl(a, o, gbar)[0])(inc))
+    sg = np.abs(want_g).max() + 1e-12
+    print(f"goursat_fused grad rel-err {np.abs(got_g-want_g).max()/sg:.2e}")
+
+    # amortized timing: R solves (and R grads) per dispatch, varied inputs
+    prim = jax.jit(lambda a, s: jax.lax.scan(
+        lambda c, e: (c, jnp.sum(g.goursat_corner_refined(a * (1 + e), o))),
+        0.0, 1e-4 * (s + jnp.arange(R, dtype=a.dtype)))[1])
+    grad = jax.jit(lambda a, s: jax.lax.scan(
+        lambda c, e: (c, jnp.sum(jax.grad(
+            lambda aa: jnp.sum(g.goursat_corner_refined(aa, o)))(
+                a * (1 + e)))),
+        0.0, 1e-4 * (s + jnp.arange(R, dtype=a.dtype)))[1])
+    scan_grad = jax.jit(lambda a, s: jax.lax.scan(
+        lambda c, e: (c, jnp.sum(jax.grad(lambda aa: jnp.sum(
+            g.goursat_corner(g.refine_increments(aa, o))))(a * (1 + e)))),
+        0.0, 1e-4 * (s + jnp.arange(R, dtype=a.dtype)))[1])
+    cells = B * (Su * 4) * (Tu * 4) * R
+    for name, fn in (("primal", prim), ("fused grad", grad),
+                     ("scan-AD grad", scan_grad)):
+        np.asarray(fn(inc, jnp.float32(0)))
+        t = _median_time(lambda i, fn=fn: np.asarray(fn(inc, jnp.float32(i))))
+        print(f"goursat_fused {name}: {t/R*1e3:.2f} ms/batch "
+              f"({cells/t/1e9:.2f} Gcell/s)")
+
+
 if __name__ == "__main__":
     job = sys.argv[1] if len(sys.argv) > 1 else "fused_fwd"
     t0 = time.time()
@@ -249,5 +303,6 @@ if __name__ == "__main__":
      "goursat_sweep": job_goursat_sweep,
      "sig_gram_ho": job_sig_gram_ho,
      "fused_mxu": job_fused_mxu,
-     "tens_seq": job_tens_seq}[job]()
+     "tens_seq": job_tens_seq,
+     "goursat_fused": job_goursat_fused}[job]()
     print(f"total {time.time()-t0:.1f} s")
