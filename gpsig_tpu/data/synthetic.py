@@ -44,6 +44,36 @@ def classification_sequences(
     return X.astype(np.float64), y.astype(np.int32)
 
 
+def sits_sequences(seed=0, N=100_000, L=40, num_classes=10):
+    """SITS-like crop-classification stand-in (the fork's ~1M-series VOSF
+    experiment — SURVEY.md §2.2): univariate NDVI-style seasonal profiles,
+    double-logistic phenology with class-dependent green-up/senescence
+    timing and amplitude, plus cloud-like dropouts and noise.
+
+    Returns (X [N, L, 1], y [N]). Generated in blocks so N≈1e5+ stays
+    cheap."""
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, num_classes, N).astype(np.int32)
+    t = np.linspace(0.0, 1.0, L)[None, :]
+    # class phenology parameters
+    base = np.linspace(0.25, 0.55, num_classes)  # green-up midpoint
+    width = np.linspace(0.08, 0.2, num_classes)  # season half-length
+    amp = np.linspace(0.5, 0.9, num_classes)  # NDVI amplitude
+    g = base[y][:, None] + 0.03 * rng.standard_normal((N, 1))
+    w = width[y][:, None] * np.exp(0.1 * rng.standard_normal((N, 1)))
+    a = amp[y][:, None] * np.exp(0.1 * rng.standard_normal((N, 1)))
+    k = 25.0
+    ndvi = a * (
+        1.0 / (1.0 + np.exp(-k * (t - g)))
+        - 1.0 / (1.0 + np.exp(-k * (t - g - 2 * w)))
+    ) + 0.15
+    # cloud dropouts: random dips toward zero
+    clouds = rng.random((N, L)) < 0.05
+    ndvi = np.where(clouds, ndvi * rng.random((N, L)) * 0.3, ndvi)
+    ndvi = ndvi + 0.03 * rng.standard_normal((N, L))
+    return ndvi[:, :, None].astype(np.float64), y
+
+
 def ragged_classification_sequences(seed=0, N=100, Lmin=20, Lmax=50, d=2,
                                     num_classes=2):
     """Variable-length variant (exercises repeat-last-observation padding)."""
