@@ -56,10 +56,15 @@ def accuracy_and_nlpp(model, X, y, key=None):
 def get_classification_data(dataset, seed, synth_kwargs=None):
     """UEA dataset if available locally, else synthetic fallback."""
     from gpsig_tpu.data import preprocessing as prep
-    from gpsig_tpu.data import synthetic, uea
+    from gpsig_tpu.data import synthetic, uea, uea_like
 
+    loader = None
     if dataset and dataset in uea.available_datasets():
-        Xtr_l, ytr, Xte_l, yte = uea.load_dataset(dataset)
+        loader = uea.load_dataset
+    elif dataset and dataset in uea_like.available_datasets():
+        loader = lambda name: uea_like.load_dataset(name)  # noqa: E731
+    if loader is not None:
+        Xtr_l, ytr, Xte_l, yte = loader(dataset)
         scaler = prep.SequenceScaler().fit(Xtr_l)
         Xtr_l = prep.add_time_to_list(scaler.transform(Xtr_l))
         Xte_l = prep.add_time_to_list(scaler.transform(Xte_l))

@@ -22,6 +22,11 @@ def main():
     p.add_argument("--dataset", default="GunPoint")
     p.add_argument("--num-tensors", type=int, default=64)
     p.add_argument("--batch", type=int, default=50)
+    p.add_argument("--num-levels", type=int, default=3)
+    p.add_argument("--classes", type=int, default=2,
+                   help="classes for the synthetic fallback dataset")
+    p.add_argument("--synth-n", type=int, default=300,
+                   help="N for the synthetic fallback dataset")
     p.add_argument("--early-stop", action="store_true",
                    help="hold out 20%% of train for val-accuracy early "
                         "stopping (the reference benchmarks' protocol)")
@@ -37,12 +42,13 @@ def main():
 
     Xtr, ytr, Xte, yte, name = get_classification_data(
         args.dataset, args.seed,
-        synth_kwargs=dict(N=300, L=50, d=1, num_classes=2),
+        synth_kwargs=dict(N=args.synth_n, L=50, d=1,
+                          num_classes=args.classes),
     )
     dtype = jnp.float64 if args.x64 else jnp.float32
     d = Xtr.shape[-1]
     C = int(max(ytr.max(), yte.max())) + 1
-    nl = 3
+    nl = args.num_levels
     Xtr_j = jnp.asarray(Xtr, dtype)
     val = None
     if args.early_stop:

@@ -1,0 +1,165 @@
+"""Accuracy-regression harness over the frozen synthetic UEA-like suite.
+
+The reference's de-facto integration test is benchmark reproduction on UEA
+archives (SURVEY.md §4 item 3). With no archives on this machine, this
+harness makes that target falsifiable offline: it trains the standard
+protocol (SVGP + inducing tensors, alternating NatGrad+Adam — SURVEY.md
+§2.1 Benchmarks row) on the five frozen ``gpsig_tpu.data.uea_like``
+datasets and checks test accuracy + NLPP against the committed windows in
+``benchmarks/expected_windows.json`` (calibrated from float64 CPU runs).
+Exit code 1 on any violation.
+
+Recalibrate (only after an *intentional* change to the suite or protocol):
+    python benchmarks/run_all.py --cpu --x64 --write-windows
+Real UEA archives (when present under GPSIG_TPU_DATA_DIR) can be named via
+``--datasets`` too; they are reported but never window-checked.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from benchmarks.common import (
+    accuracy_and_nlpp,
+    base_parser,
+    get_classification_data,
+    setup_jax,
+)
+
+WINDOWS_PATH = os.path.join(os.path.dirname(__file__),
+                            "expected_windows.json")
+
+# Frozen training protocol — changing any of these invalidates the windows.
+PROTOCOL = dict(num_tensors=64, num_levels=4, batch=50, iters=2000,
+                learning_rate=1e-2, gamma=0.1, seed=0)
+
+
+def run_dataset(name, args, protocol=PROTOCOL):
+    import jax
+    import jax.numpy as jnp
+
+    from gpsig_tpu import likelihoods as liks
+    from gpsig_tpu.inducing import make_inducing_tensors_from_data
+    from gpsig_tpu.kernels.signature import SignatureRBF
+    from gpsig_tpu.models.svgp import SVGP
+    from gpsig_tpu.training.loop import fit
+
+    Xtr, ytr, Xte, yte, _ = get_classification_data(name, protocol["seed"])
+    dtype = jnp.float64 if args.x64 else jnp.float32
+    d = Xtr.shape[-1]
+    C = int(max(ytr.max(), yte.max())) + 1
+    nl = protocol["num_levels"]
+    Xtr_j = jnp.asarray(Xtr, dtype)
+
+    kern = SignatureRBF(d, nl, lengthscales=float(np.sqrt(d)), order=1,
+                        normalization=True, dtype=dtype)
+    feat = make_inducing_tensors_from_data(
+        jax.random.PRNGKey(protocol["seed"]), Xtr_j,
+        num_tensors=protocol["num_tensors"], num_levels=nl,
+        num_features=d, increments=True,
+    )
+    model = SVGP.create(kern, liks.MultiClass(num_classes=C), feat,
+                        num_latent=C, dtype=dtype)
+    iters = args.iters or protocol["iters"]
+    t0 = time.time()
+    model, hist = fit(
+        model, Xtr_j, jnp.asarray(ytr), num_iters=iters,
+        batch_size=min(protocol["batch"], len(ytr)),
+        learning_rate=protocol["learning_rate"],
+        gamma=protocol["gamma"], seed=protocol["seed"],
+    )
+    t_train = time.time() - t0
+    acc, nlpp = accuracy_and_nlpp(model, jnp.asarray(Xte, dtype), yte)
+    return dict(dataset=name, num_train=len(ytr), num_test=len(yte),
+                num_classes=C, acc=acc, nlpp=nlpp,
+                final_elbo=float(hist[-1][1]),
+                train_time_s=round(t_train, 2))
+
+
+def check_window(res, win):
+    fails = []
+    if res["acc"] < win["acc_min"]:
+        fails.append(f"acc {res['acc']:.3f} < min {win['acc_min']:.3f}")
+    if res["nlpp"] > win["nlpp_max"]:
+        fails.append(f"nlpp {res['nlpp']:.3f} > max {win['nlpp_max']:.3f}")
+    return fails
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--datasets", nargs="*", default=None,
+                   help="subset (default: the full frozen suite)")
+    p.add_argument("--write-windows", action="store_true",
+                   help="recalibrate expected_windows.json from this run "
+                        "(requires --cpu --x64)")
+    args = p.parse_args()
+    setup_jax(args)
+
+    from gpsig_tpu.data import uea_like
+
+    names = args.datasets or uea_like.available_datasets()
+    windows = {}
+    if os.path.exists(WINDOWS_PATH):
+        windows = json.load(open(WINDOWS_PATH))
+
+    if args.write_windows and not (args.cpu and args.x64):
+        p.error("--write-windows requires --cpu --x64 (windows are "
+                "calibrated from the float64 CPU ground truth)")
+
+    results, failures = [], []
+    for name in names:
+        res = run_dataset(name, args)
+        frozen = name in uea_like.available_datasets()
+        if frozen:
+            res["fingerprint"] = uea_like.dataset_fingerprint(name)
+        results.append(res)
+        status = "—"
+        if frozen and not args.write_windows and name in windows:
+            win = windows[name]
+            fails = check_window(res, win)
+            if win.get("fingerprint") is not None and res[
+                "fingerprint"
+            ] != win["fingerprint"]:
+                fails.append("dataset fingerprint changed — generator "
+                             "drifted, windows invalid")
+            if fails:
+                failures.append((name, fails))
+                status = "FAIL: " + "; ".join(fails)
+            else:
+                status = "ok"
+        print(f"{res['dataset']:>18}  N={res['num_train']:>4}/"
+              f"{res['num_test']:<4} C={res['num_classes']:<2} "
+              f"acc={res['acc']:.3f} nlpp={res['nlpp']:.3f} "
+              f"elbo={res['final_elbo']:.1f} "
+              f"t={res['train_time_s']:.0f}s  {status}", flush=True)
+
+    if args.write_windows:
+        new = {}
+        for res in results:
+            if "fingerprint" not in res:
+                continue
+            new[res["dataset"]] = dict(
+                fingerprint=res["fingerprint"],
+                acc_min=round(max(0.0, res["acc"] - 0.08), 3),
+                nlpp_max=round(res["nlpp"] * 1.35 + 0.05, 3),
+                measured=dict(acc=res["acc"], nlpp=res["nlpp"]),
+                protocol=PROTOCOL,
+            )
+        json.dump(new, open(WINDOWS_PATH, "w"), indent=1, sort_keys=True)
+        print(f"wrote {WINDOWS_PATH}")
+
+    print(json.dumps({"suite": "uea_like", "n_datasets": len(results),
+                      "mean_acc": round(float(np.mean([r["acc"] for r in
+                                                       results])), 4),
+                      "failures": len(failures)}))
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
