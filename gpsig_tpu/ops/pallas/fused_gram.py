@@ -6,8 +6,10 @@ construction (base-kernel Gram + [N1,L,N2,L]→[N1,N2,L,L] transpose + double
 difference) costs as much as the recursion itself — both are HBM-bandwidth
 bound on the [N²,L,L] tensor. This kernel removes that tensor entirely:
 
-- grid = (N1, N2/128): one x-sequence against a 128-lane block of
-  y-sequences per step. HBM traffic = X + Yᵀ + [levels, N1, N2] out.
+- grid = (N1/bx, N2/(sy·128)): bx x-sequences (lane-packed) against sy
+  128-lane blocks of y-sequences (sublane-stacked with block-diagonal
+  structural matrices, filling the MXU's M/K tiles toward 128) per step.
+  HBM traffic = X + Yᵀ + [levels, N1, N2] out.
 - inside: a `fori_loop` over columns j of the (virtual) increment matrix.
   Per column, the base-kernel column K[:, j+1] is computed from the raw
   sequences (d-loop of FMAs; exp for RBF), double-differenced against the
@@ -22,9 +24,9 @@ bound on the [N²,L,L] tensor. This kernel removes that tensor entirely:
 Total FLOPs ≈ 2·levels·N²·L²·Lp — the information-theoretic cost of the
 recursion — with N²·L·d FMAs for the base kernel.
 
-Backward: custom_vjp recomputes through the (mathematically identical) XLA
-reference path — training still skips the forward's HBM wall; a fused
-reverse-sweep kernel is future work.
+Backward: a fully-fused reverse column sweep on TPU backends
+(``fused_gram_levels_bwd_pallas`` — reconstructs the DP states in VMEM);
+row-blocked XLA recompute elsewhere.
 
 The diagonal variant (k_m(x_n, x_n), needed by per-level normalisation and
 Kdiag) uses the same column scan with both sides per-lane.
@@ -154,13 +156,21 @@ def _dmat(Lp, L, dtype):
 
 
 def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx,
-                  mxu):
+                  sy, mxu):
     """x_ref: [1, Lp, d·bx] (packed X block, rows pre-padded to Lp);
-    y_ref: [L, d, 128]; out_ref: [bx, _LEVROWS, 128]."""
+    y_ref: [L, d, sy·128]; out_ref: [bx, _LEVROWS, sy·128].
+
+    ``sy`` y-lane-blocks are stacked along *sublanes* (rows h·Lp:(h+1)·Lp
+    handle y-block h) with block-diagonal structural matrices: the DP
+    matmuls become [sy·Lp, sy·Lp]·[sy·Lp, (nl-1)·W] so the MXU's M/K tiles
+    fill toward 128 instead of idling at Lp≈56 — the kernel is
+    pass-latency-bound, and sy=2 at L=50 nearly doubles useful work per
+    pass (measured on-chip; see PERF.md)."""
     dt = x_ref.dtype
     Lp = x_ref.shape[1]
     W = bx * _LANE
     nl = num_levels
+    Lq = sy * Lp
 
     # lane-group expansion of x channels: [L, bx] -> [Lp, bx·128] with
     # lane b·128+p holding x[i, b]. Built as a matmul with a 0/1 expansion
@@ -170,42 +180,131 @@ def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx,
     ec = jax.lax.broadcasted_iota(jnp.int32, (bx, W), 1)
     Eb = (ec // _LANE == er).astype(dt)
     xcols = []
-    nx = jnp.zeros((Lp, W), dt)
+    nx1 = jnp.zeros((Lp, W), dt)
     for dd in range(d):
         xs = x_ref[0, :, dd * bx : (dd + 1) * bx]  # [Lp, bx]
         xw = _mxu_dot(xs, Eb, mxu, "left").astype(dt)
         xcols.append(xw)
-        nx = nx + xw * xw
+        nx1 = nx1 + xw * xw
+    # row-stack the x data once so per-column work is a single [Lq, W] op
+    xcols_s = [
+        jnp.concatenate([xc] * sy, axis=0) if sy > 1 else xc
+        for xc in xcols
+    ]
+    nx = jnp.concatenate([nx1] * sy, axis=0) if sy > 1 else nx1
 
-    SL = _sl(Lp, dt)
-    Dm = _dmat(Lp, L, dt)
-    K0 = _kcol_wide(xcols, nx, y_ref, 0, d, rbf, bx)
-    C0 = jnp.zeros((Lp, max(nl - 1, 1) * W), dt)
-    acc0 = jnp.zeros((_LEVROWS, W), dt)
-    levrow = jax.lax.broadcasted_iota(jnp.int32, (_LEVROWS, W), 0)
+    def kcol_stacked(jj):
+        """Base-kernel columns for all sy y-blocks, stacked: [Lq, W]."""
+        G = jnp.zeros((Lq, W), dt)
+        ny = jnp.zeros((1, W), dt)
+        ny_rows = []
+        g_rows = []
+        for h in range(sy):
+            Gh = jnp.zeros((Lp, W), dt)
+            nyh = jnp.zeros((1, W), dt)
+            for dd in range(d):
+                yv = y_ref[jj, dd : dd + 1, h * _LANE : (h + 1) * _LANE]
+                yw = jnp.concatenate([yv] * bx, axis=1)  # [1, W]
+                Gh = Gh + xcols[dd] * yw
+                nyh = nyh + yw * yw
+            g_rows.append(Gh)
+            ny_rows.append(jnp.broadcast_to(nyh, (Lp, W)))
+        G = g_rows[0] if sy == 1 else jnp.concatenate(g_rows, axis=0)
+        if not rbf:
+            return G
+        ny = (
+            ny_rows[0] if sy == 1 else jnp.concatenate(ny_rows, axis=0)
+        )
+        return jnp.exp(-0.5 * (nx + ny - 2.0 * G))
 
+    SL = _sl_blk(Lp, sy, dt)
+    Dm = _dmat_blk(Lp, L, sy, dt)
+    K0 = kcol_stacked(0)
+    C0 = jnp.zeros((Lq, max(nl - 1, 1) * W), dt)
+    Snl0 = jnp.zeros((Lq, W), dt)
+
+    # Level sums are read off the DP state afterwards: C's m-th block is
+    # exactly Σ_j A_m[:, j] for m < nl (it is the running cumsum the DP
+    # needs anyway), so the loop carries only ONE extra accumulator (level
+    # nl) and does no per-column reductions or masked placements.
     def body(jj, carry):
-        Kprev, C, acc = carry
-        Knext = _kcol_wide(xcols, nx, y_ref, jj + 1, d, rbf, bx)
-        colD = Knext - Kprev  # [Lp, W]
+        Kprev, C, Snl = carry
+        Knext = kcol_stacked(jj + 1)
+        colD = Knext - Kprev  # [Lq, W]
         Mcol = _mxu_dot(Dm, colD, mxu, "right").astype(dt)
         if nl >= 2:
             E = _mxu_dot(SL, C, mxu, "right").astype(dt)
         As = [Mcol]
         for m in range(2, nl + 1):
             As.append(Mcol * E[:, (m - 2) * W : (m - 1) * W])
-        for m, A in enumerate(As, start=1):
-            acc = acc + jnp.where(
-                levrow == m, jnp.sum(A, axis=0, keepdims=True), 0.0
-            )
+        Snl = Snl + As[-1]
         if nl >= 2:
             C = C + jnp.concatenate(As[: nl - 1], axis=1)
-        return Knext, C, acc
+        return Knext, C, Snl
 
-    _, _, acc = jax.lax.fori_loop(0, L - 1, body, (K0, C0, acc0))
-    acc = acc + jnp.where(levrow == 0, jnp.asarray(1.0, dt), 0.0)
+    # manual 2× unroll (Mosaic's fori_loop supports only unroll∈{1, all}):
+    # the second column's base-kernel build (VPU) is independent of the
+    # first column's DP matmul (MXU), giving the scheduler overlap room.
+    def body2(jj2, carry):
+        carry = body(2 * jj2, carry)
+        return body(2 * jj2 + 1, carry)
+
+    carry = jax.lax.fori_loop(0, (L - 1) // 2, body2, (K0, C0, Snl0))
+    if (L - 1) % 2:
+        carry = body(L - 2, carry)
+    _, C, Snl = carry
+
+    def halfsums(A):
+        """Row sums per sy-half: [Lq, W] -> [1, sy·W]."""
+        if sy == 1:
+            return jnp.sum(A, axis=0, keepdims=True)
+        return jnp.concatenate(
+            [
+                jnp.sum(A[h * Lp : (h + 1) * Lp], axis=0, keepdims=True)
+                for h in range(sy)
+            ],
+            axis=1,
+        )
+
+    levrow = jax.lax.broadcasted_iota(jnp.int32, (_LEVROWS, sy * W), 0)
+    acc = jnp.where(levrow == 0, jnp.asarray(1.0, dt), 0.0)
+    for m in range(1, nl):
+        acc = acc + jnp.where(
+            levrow == m, halfsums(C[:, (m - 1) * W : m * W]), 0.0
+        )
+    acc = acc + jnp.where(levrow == nl, halfsums(Snl), 0.0)
+    # acc lanes: [half h][bx block b][lane p] -> out lanes [b][h][p]
     for b in range(bx):
-        out_ref[b] = acc[:, b * _LANE : (b + 1) * _LANE]
+        out_ref[b] = jnp.concatenate(
+            [
+                acc[:, h * W + b * _LANE : h * W + (b + 1) * _LANE]
+                for h in range(sy)
+            ],
+            axis=1,
+        )
+
+
+def _sl_blk(Lp, sy, dtype):
+    """Block-diagonal stack of sy strictly-lower-triangular ones blocks,
+    built directly from iota (Mosaic has no dynamic_update_slice)."""
+    n = sy * Lp
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    same = (r // Lp) == (c // Lp)
+    return (same & ((c % Lp) < (r % Lp))).astype(dtype)
+
+
+def _dmat_blk(Lp, L, sy, dtype):
+    """Block-diagonal stack of sy difference operators (see _dmat)."""
+    n = sy * Lp
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    same = (r // Lp) == (c // Lp)
+    ri, ci = r % Lp, c % Lp
+    up = (same & (ci == ri + 1)).astype(dtype)
+    diag = (same & (ci == ri)).astype(dtype)
+    mask = (ri < L - 1).astype(dtype)
+    return (up - diag) * mask
 
 
 def _diag_kernel(xt_ref, out_ref, *, L, d, num_levels, rbf, mxu):
@@ -322,8 +421,11 @@ def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8, mxu=None):
     N1, L, d = X.shape
     N2 = Y.shape[0]
     Lp = _round_up(L, 8)
+    # sy y-blocks stacked along sublanes so the [sy·Lp, sy·Lp] structural
+    # matmuls fill the MXU's M/K tiles (the kernel is pass-latency-bound)
+    sy = max(1, min(_LANE // Lp, -(-N2 // _LANE)))
     N1p = _round_up(N1, bx)
-    N2p = _round_up(N2, _LANE)
+    N2p = _round_up(N2, sy * _LANE)
     Xp = jnp.pad(X, ((0, N1p - N1), (0, Lp - L), (0, 0)))
     # pack: [nblk, bx, Lp, d] -> [nblk, Lp, d, bx] -> [nblk, Lp, d*bx]
     Xpk = Xp.reshape(N1p // bx, bx, Lp, d).transpose(0, 2, 3, 1).reshape(
@@ -335,16 +437,16 @@ def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8, mxu=None):
     out = pl.pallas_call(
         functools.partial(
             _fused_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf, bx=bx,
-            mxu=mxu,
+            sy=sy, mxu=mxu,
         ),
-        grid=(N1p // bx, N2p // _LANE),
+        grid=(N1p // bx, N2p // (sy * _LANE)),
         in_specs=[
             pl.BlockSpec((1, Lp, d * bx), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, d, _LANE), lambda i, j: (0, 0, j),
+            pl.BlockSpec((L, d, sy * _LANE), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bx, _LEVROWS, _LANE),
+        out_specs=pl.BlockSpec((bx, _LEVROWS, sy * _LANE),
                                lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N1p, _LEVROWS, N2p), X.dtype),

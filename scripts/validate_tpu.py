@@ -294,6 +294,36 @@ def job_goursat_fused():
               f"({cells/t/1e9:.2f} Gcell/s)")
 
 
+def job_fused_breakdown():
+    """Where does fused-Gram time go? A/B at N=256: RBF vs Linear base
+    (exp cost), num_levels 1 vs 4 (DP-matmul cost), bx 8 vs 16 — to decide
+    the next utilisation lever (VERDICT r1 #5)."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops.pallas import fused_gram as fg
+
+    N, L, d = 256, 50, 2
+    rng = np.random.default_rng(0)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    R = 32
+    for label, rbf, nl, mxu in [
+        ("rbf nl=4 split", True, 4, "split"),
+        ("rbf nl=1 split", True, 1, "split"),
+        ("lin nl=4 split", False, 4, "split"),
+        ("rbf nl=4 default", True, 4, "default"),
+        ("rbf nl=7 split", True, 7, "split"),
+    ]:
+        fn = jax.jit(lambda x, s, rbf=rbf, nl=nl, mxu=mxu: jax.lax.scan(
+            lambda c, e: (c, jnp.sum(fg.fused_gram_levels(
+                x * (1 + e), x, nl, rbf, mxu=mxu))),
+            0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
+        np.asarray(fn(X, jnp.float32(0)))
+        t = _median_time(lambda i, fn=fn: np.asarray(fn(X, jnp.float32(i))))
+        print(f"breakdown {label}: {t/R*1e3:.2f} ms "
+              f"({R*N*N/t/1e6:.1f}M entries/s)", flush=True)
+
+
 if __name__ == "__main__":
     job = sys.argv[1] if len(sys.argv) > 1 else "fused_fwd"
     t0 = time.time()
@@ -304,5 +334,6 @@ if __name__ == "__main__":
      "sig_gram_ho": job_sig_gram_ho,
      "fused_mxu": job_fused_mxu,
      "tens_seq": job_tens_seq,
-     "goursat_fused": job_goursat_fused}[job]()
+     "goursat_fused": job_goursat_fused,
+     "fused_breakdown": job_fused_breakdown}[job]()
     print(f"total {time.time()-t0:.1f} s")
