@@ -187,6 +187,14 @@ class SignatureKernel:
             return jax.default_backend() not in ("cpu",)
         return False
 
+    @staticmethod
+    def _pallas_interpret():
+        """engine='pallas' on the CPU backend runs the kernels in
+        interpret mode (Mosaic only compiles for accelerators)."""
+        import jax
+
+        return jax.default_backend() == "cpu"
+
     def _fused_base_kind(self):
         """rbf flag when the fully-fused Gram kernel applies, else None."""
         if not (self._use_pallas() and self.order == 1 and self.difference
@@ -210,11 +218,13 @@ class SignatureKernel:
             from gpsig_tpu.ops.pallas import sig_gram
 
             flat = M.reshape((-1,) + M.shape[-2:])
+            interp = self._pallas_interpret()
             if self.order == 1:
-                out = sig_gram.sig_gram_levels(flat, self.num_levels)
+                out = sig_gram.sig_gram_levels(flat, self.num_levels,
+                                               interpret=interp)
             else:
                 out = sig_gram.sig_gram_levels_ho(
-                    flat, self.num_levels, self.order
+                    flat, self.num_levels, self.order, interpret=interp
                 )
             return out.reshape((self.num_levels + 1,) + batch)
         return sigops.signature_kern(M, self.num_levels, self.order)
@@ -246,6 +256,7 @@ class SignatureKernel:
             from gpsig_tpu.ops.pallas.fused_gram import fused_gram_levels
 
             return fused_gram_levels(X, Y, self.num_levels, rbf,
+                                     interpret=self._pallas_interpret(),
                                      mxu=self._mxu_mode(X))
         M = self._increment_matrix(X, Y)
         return self._recursion(M)
@@ -258,6 +269,7 @@ class SignatureKernel:
             from gpsig_tpu.ops.pallas.fused_gram import fused_diag_levels
 
             return fused_diag_levels(X, self.num_levels, rbf,
+                                     interpret=self._pallas_interpret(),
                                      mxu=self._mxu_mode(X))
         M = self._increment_matrix_diag(X)
         return self._recursion(M)
