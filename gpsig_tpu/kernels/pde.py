@@ -9,8 +9,13 @@ adjoint-PDE gradients; ``dyadic_order`` refines the finite-difference grid
 Numerical note: the finite-difference solution is only *approximately* PSD
 as a Gram matrix — at ``dyadic_order=0`` on short/rough sequences negative
 eigenvalues of order 1e-3 can appear (they shrink rapidly with refinement).
-When using this kernel for Kuu (e.g. with inducing sequences), use
-``dyadic_order >= 1`` and/or a larger jitter.
+When using this kernel for Kuu (e.g. with inducing sequences), either use
+``dyadic_order >= 1`` or set ``psd_floor > 0``: symmetric Grams are then
+eigenvalue-floored via a straight-through projection (value exactly PSD
+with min eig >= psd_floor; gradients flow through the unprojected
+symmetric Gram, so training is unaffected by the eigh). The projection is
+O(N³) — intended for inducing-sized symmetric Grams, which is exactly
+where chol failures bite.
 """
 
 from __future__ import annotations
@@ -27,6 +32,17 @@ from gpsig_tpu.ops import goursat
 from gpsig_tpu.ops.signature import incremental_gram
 
 
+def _psd_project(K, floor):
+    """Straight-through eigenvalue floor: value = V·max(w, floor)·Vᵀ of the
+    symmetrized K (exactly PSD), gradient = gradient of the symmetrized K
+    (the eigh never enters AD, so degenerate eigenvalues are harmless)."""
+    Ks = 0.5 * (K + K.T)
+    w, V = jnp.linalg.eigh(jax.lax.stop_gradient(Ks))
+    proj = (V * jnp.maximum(w, floor)) @ V.T
+    proj = 0.5 * (proj + proj.T)
+    return Ks + jax.lax.stop_gradient(proj - Ks)
+
+
 @struct.dataclass
 class UntruncatedSignatureKernel:
     base: Any
@@ -38,11 +54,14 @@ class UntruncatedSignatureKernel:
     row_block: int = struct.field(pytree_node=False, default=0)
     #: 'auto' = Pallas wavefront for non-AD solves on TPU, scan otherwise
     engine: str = struct.field(pytree_node=False, default="auto")
+    #: >0 → symmetric Grams (X2=None, the Kuu path) are eigenvalue-floored
+    #: by a straight-through PSD projection (see module docstring)
+    psd_floor: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
     def create(cls, num_features, base=None, lengthscales=1.0, sigma=1.0,
                dyadic_order=0, normalization=False, row_block=0,
-               engine="auto", dtype=jnp.float64):
+               engine="auto", psd_floor=0.0, dtype=jnp.float64):
         raw_ell = None
         if lengthscales is not None:
             ell = jnp.broadcast_to(jnp.asarray(lengthscales, dtype),
@@ -57,6 +76,7 @@ class UntruncatedSignatureKernel:
             normalization=normalization,
             row_block=row_block,
             engine=engine,
+            psd_floor=psd_floor,
         )
 
     @property
@@ -124,7 +144,10 @@ class UntruncatedSignatureKernel:
             dx = jnp.maximum(self._diag_raw(Xs), 1.0)
             dy = dx if sym else jnp.maximum(self._diag_raw(Ys), 1.0)
             K = K / jnp.sqrt(dx[:, None] * dy[None, :])
-        return self.sigma * K
+        K = self.sigma * K
+        if sym and self.psd_floor > 0.0:
+            K = _psd_project(K, jnp.asarray(self.psd_floor, K.dtype))
+        return K
 
     def Kdiag(self, X):
         Xs = self._scaled(X)

