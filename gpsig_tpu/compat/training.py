@@ -26,6 +26,32 @@ import optax
 from gpsig_tpu.training.natgrad import natgrad_step
 
 
+def _pin_variational_moments(new_state, old_state):
+    """Restore the (q_mu, q_sqrt) Adam moments from ``old_state``.
+
+    A frozen-variational step runs the shared optimizer with zeroed
+    variational gradients; Adam would still decay those moments (mu ←
+    β₁·mu), so a long frozen phase silently erases them. Pinning the frozen
+    leaves' moments makes a frozen step a true no-op for (q_mu, q_sqrt)
+    while the *hyperparameter* moments advance in the ONE shared state —
+    matching the reference's single Adam optimizer whose variational
+    variables simply aren't in its var_list."""
+
+    def walk(new, old):
+        if isinstance(new, optax.ScaleByAdamState):
+            return new._replace(
+                mu=new.mu.replace(q_mu=old.mu.q_mu, q_sqrt=old.mu.q_sqrt),
+                nu=new.nu.replace(q_mu=old.nu.q_mu, q_sqrt=old.nu.q_sqrt),
+            )
+        if isinstance(new, tuple):
+            vals = [walk(n, o) for n, o in zip(new, old)]
+            return type(new)(*vals) if hasattr(new, "_fields") else (
+                tuple(vals))
+        return new
+
+    return walk(new_state, old_state)
+
+
 class AdamOptimizer:
     """Adam over the model hyperparameters (reference protocol: grouped with
     a NatGrad op — SURVEY.md §3.1).
@@ -35,9 +61,11 @@ class AdamOptimizer:
       keyed by the model wrapper, so a collected wrapper can never leak its
       Adam moments into an unrelated new model (previously keyed by ``id``,
       which CPython reuses) and the caches don't grow without bound.
-    - State is additionally keyed by ``freeze_variational`` so frozen and
-      unfrozen phases never share moments: stale nonzero moments from an
-      unfrozen phase must not keep moving (q_mu, q_sqrt) during a frozen one.
+    - ONE Adam state per wrapper, shared across ``freeze_variational``
+      phases (the reference's protocol alternates them every iteration with
+      a single optimizer): hyperparameter moments persist across phase
+      switches, and frozen steps pin the variational moments/updates to
+      exact no-ops (see ``_pin_variational_moments``).
     - ``learning_rate`` is injected as an optax hyperparameter, so mutating
       ``opt.learning_rate`` between ``minimize`` calls (lr annealing) takes
       effect instead of being baked in at trace time.
@@ -47,7 +75,7 @@ class AdamOptimizer:
         self.learning_rate = learning_rate
         self._opt = optax.inject_hyperparams(optax.adam)(
             learning_rate=learning_rate)
-        self._state = weakref.WeakKeyDictionary()  # wrapper -> {freeze: state}
+        self._state = weakref.WeakKeyDictionary()  # wrapper -> state
         self._step = weakref.WeakKeyDictionary()  # wrapper -> {freeze: fn}
 
     def _get_step(self, wrapper, freeze_variational):
@@ -65,16 +93,16 @@ class AdamOptimizer:
                         q_mu=jnp.zeros_like(grads.q_mu),
                         q_sqrt=jnp.zeros_like(grads.q_sqrt),
                     )
-                updates, opt_state = self._opt.update(grads, opt_state,
+                updates, new_state = self._opt.update(grads, opt_state,
                                                       model)
                 if freeze_variational:
-                    # Belt and braces: even zero grads move Adam's moment
-                    # estimates; pin the frozen leaves' updates to zero.
                     updates = updates.replace(
                         q_mu=jnp.zeros_like(updates.q_mu),
                         q_sqrt=jnp.zeros_like(updates.q_sqrt),
                     )
-                return optax.apply_updates(model, updates), opt_state, -loss
+                    new_state = _pin_variational_moments(new_state,
+                                                         opt_state)
+                return optax.apply_updates(model, updates), new_state, -loss
 
             steps[freeze_variational] = step
         return steps[freeze_variational]
@@ -82,10 +110,9 @@ class AdamOptimizer:
     def minimize(self, wrapper, maxiter=100, freeze_variational=False,
                  callback=None):
         model = wrapper.to_functional()
-        states = self._state.setdefault(wrapper, {})
-        if freeze_variational not in states:
-            states[freeze_variational] = self._opt.init(model)
-        opt_state = states[freeze_variational]
+        if wrapper not in self._state:
+            self._state[wrapper] = self._opt.init(model)
+        opt_state = self._state[wrapper]
         # Live learning rate: write the current value into the injected
         # hyperparams each call.
         opt_state.hyperparams["learning_rate"] = jnp.asarray(
@@ -101,7 +128,7 @@ class AdamOptimizer:
             )
             if callback is not None:
                 callback(it, float(elbo))
-        states[freeze_variational] = opt_state
+        self._state[wrapper] = opt_state
         wrapper.update_functional(model)
         return None if elbo is None else float(elbo)
 

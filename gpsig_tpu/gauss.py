@@ -39,9 +39,11 @@ def stable_cholesky(K, extra_levels=None):
     Cholesky at that level — so gradients never see a NaN branch and the
     jitter stays minimal when the matrix is healthy.
 
-    K must already include the caller's base jitter. Cost: len(levels)
-    value-only Cholesky trials + 1 real (O(M³) each — negligible next to
-    the O(N²L²)-class Gram work upstream).
+    K must already include the caller's base jitter. Cost on the healthy
+    path: ONE value-only trial at the base level + 1 real factorization;
+    the remaining trial levels run inside a ``lax.cond`` and are only
+    executed when the first trial produces a non-finite factor, so a
+    well-conditioned Kuu never pays more than 2× chol.
     """
     dtype = K.dtype
     if extra_levels is None:
@@ -50,10 +52,20 @@ def stable_cholesky(K, extra_levels=None):
     M = K.shape[-1]
     eye = jnp.eye(M, dtype=dtype)
     Ks = jax.lax.stop_gradient(K)
-    chosen = jnp.asarray(extra_levels[-1], dtype)
-    for e in reversed(extra_levels):
-        ok = jnp.all(jnp.isfinite(jnp.linalg.cholesky(Ks + e * eye)))
-        chosen = jnp.where(ok, jnp.asarray(e, dtype), chosen)
+    ok0 = jnp.all(
+        jnp.isfinite(jnp.linalg.cholesky(Ks + extra_levels[0] * eye))
+    )
+
+    def _escalate(_):
+        chosen = jnp.asarray(extra_levels[-1], dtype)
+        for e in reversed(extra_levels[1:]):
+            ok = jnp.all(jnp.isfinite(jnp.linalg.cholesky(Ks + e * eye)))
+            chosen = jnp.where(ok, jnp.asarray(e, dtype), chosen)
+        return chosen
+
+    chosen = jax.lax.cond(
+        ok0, lambda _: jnp.asarray(extra_levels[0], dtype), _escalate, None
+    )
     return jnp.linalg.cholesky(K + chosen * eye)
 
 

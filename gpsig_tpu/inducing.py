@@ -104,8 +104,16 @@ class InducingSequences:
     def num_inducing(self):
         return self.raw_Z.shape[0]
 
+    def _sym_gram(self, kernel):
+        """Symmetric Z-Gram; kernels exposing ``K_sym_psd`` (the PDE
+        kernel, whose finite-difference Gram is only approximately PSD)
+        get their chol-safe Kuu entry point used automatically."""
+        if hasattr(kernel, "K_sym_psd"):
+            return kernel.K_sym_psd(self.raw_Z)
+        return kernel.K(self.raw_Z)
+
     def Kuu(self, kernel, jitter=None):
-        K = kernel.K(self.raw_Z)
+        K = self._sym_gram(kernel)
         if jitter is None:
             jitter = default_jitter(K.dtype)
         return K + jitter * jnp.eye(K.shape[-1], dtype=K.dtype)
@@ -119,7 +127,7 @@ class InducingSequences:
         if hasattr(kernel, "seq_covariances"):
             Kuu, Kuf = kernel.seq_covariances(self.raw_Z, X)
         else:
-            Kuu, Kuf = kernel.K(self.raw_Z), kernel.K(self.raw_Z, X)
+            Kuu, Kuf = self._sym_gram(kernel), kernel.K(self.raw_Z, X)
         if jitter is None:
             jitter = default_jitter(Kuu.dtype)
         return (

@@ -9,13 +9,19 @@ adjoint-PDE gradients; ``dyadic_order`` refines the finite-difference grid
 Numerical note: the finite-difference solution is only *approximately* PSD
 as a Gram matrix — at ``dyadic_order=0`` on short/rough sequences negative
 eigenvalues of order 1e-3 can appear (they shrink rapidly with refinement).
-When using this kernel for Kuu (e.g. with inducing sequences), either use
-``dyadic_order >= 1`` or set ``psd_floor > 0``: symmetric Grams are then
-eigenvalue-floored via a straight-through projection (value exactly PSD
-with min eig >= psd_floor; gradients flow through the unprojected
-symmetric Gram, so training is unaffected by the eigh). The projection is
-O(N³) — intended for inducing-sized symmetric Grams, which is exactly
-where chol failures bite.
+Symmetric Grams can be eigenvalue-floored via a straight-through
+projection (value exactly PSD with min eig >= psd_floor; gradients flow
+through the unprojected symmetric Gram, so training is unaffected by the
+eigh). The projection is O(N³) — intended for inducing-sized symmetric
+Grams, which is exactly where chol failures bite.
+
+``psd_floor`` semantics: ``None`` (the default) = *auto* — plain ``K(X)``
+Grams are untouched, but the dedicated Kuu entry point ``K_sym_psd``
+(dispatched by ``InducingSequences``) always projects, so an
+inducing-sequence SVGP on this kernel is chol-safe out of the box at any
+``dyadic_order``. An explicit ``psd_floor=0.0`` disables the guard
+entirely; ``psd_floor > 0`` additionally projects every symmetric ``K(X)``
+at that floor (the pre-round-3 opt-in behavior).
 """
 
 from __future__ import annotations
@@ -54,14 +60,15 @@ class UntruncatedSignatureKernel:
     row_block: int = struct.field(pytree_node=False, default=0)
     #: 'auto' = Pallas wavefront for non-AD solves on TPU, scan otherwise
     engine: str = struct.field(pytree_node=False, default="auto")
-    #: >0 → symmetric Grams (X2=None, the Kuu path) are eigenvalue-floored
-    #: by a straight-through PSD projection (see module docstring)
-    psd_floor: float = struct.field(pytree_node=False, default=0.0)
+    #: None = auto (K_sym_psd projects, K does not); 0.0 = guard off;
+    #: >0 → every symmetric Gram (X2=None) is eigenvalue-floored by a
+    #: straight-through PSD projection (see module docstring)
+    psd_floor: float | None = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, num_features, base=None, lengthscales=1.0, sigma=1.0,
                dyadic_order=0, normalization=False, row_block=0,
-               engine="auto", psd_floor=0.0, dtype=jnp.float64):
+               engine="auto", psd_floor=None, dtype=jnp.float64):
         raw_ell = None
         if lengthscales is not None:
             ell = jnp.broadcast_to(jnp.asarray(lengthscales, dtype),
@@ -145,8 +152,24 @@ class UntruncatedSignatureKernel:
             dy = dx if sym else jnp.maximum(self._diag_raw(Ys), 1.0)
             K = K / jnp.sqrt(dx[:, None] * dy[None, :])
         K = self.sigma * K
-        if sym and self.psd_floor > 0.0:
+        if sym and self.psd_floor is not None and self.psd_floor > 0.0:
             K = _psd_project(K, jnp.asarray(self.psd_floor, K.dtype))
+        return K
+
+    def K_sym_psd(self, X):
+        """Symmetric Gram for the Kuu path, guaranteed PSD.
+
+        ``InducingSequences`` dispatches here when the kernel provides it:
+        the finite-difference Gram is only approximately PSD (module
+        docstring), and a Cholesky downstream must not depend on the user
+        having read it. With the default ``psd_floor=None`` the floor is
+        the dtype jitter; an explicit ``psd_floor=0.0`` opts out."""
+        K = self.K(X)  # psd_floor > 0 already projected inside K
+        if self.psd_floor is None:
+            from gpsig_tpu.config import default_jitter
+
+            K = _psd_project(K, jnp.asarray(default_jitter(K.dtype),
+                                            K.dtype))
         return K
 
     def Kdiag(self, X):

@@ -413,6 +413,7 @@ class SignatureKernel:
 
             levels = fused_tens_seq_levels(
                 Zs, Xs, self.num_levels, rbf, increments,
+                interpret=self._pallas_interpret(),
                 mxu=self._mxu_mode(Xs),
             )
             return self._finish_tens_vs_seq(levels, Xs, return_levels)

@@ -360,7 +360,12 @@ def _diag_kernel(xt_ref, out_ref, *, L, d, num_levels, rbf, mxu):
 
 
 def _xla_reference(X, Y, num_levels, rbf):
-    """Mathematically identical XLA path (also the VJP route)."""
+    """Mathematically identical XLA path (also the VJP route).
+
+    The squared distance is deliberately *unclamped* (no max(·, 0)) to match
+    the fused forward kernel exactly — the custom VJP must differentiate the
+    same function the forward computes (see tens_seq._xla_reference_tens_seq
+    for the full rationale)."""
     N1, L, d = X.shape
     N2 = Y.shape[0]
     a = X.reshape(N1 * L, d)
@@ -370,9 +375,8 @@ def _xla_reference(X, Y, num_levels, rbf):
         nb = jnp.sum(b * b, -1)
         G = jnp.exp(
             -0.5
-            * jnp.maximum(
-                na[:, None] + nb[None, :] - 2.0 * jnp.matmul(a, b.T, precision='highest'), 0.0
-            )
+            * (na[:, None] + nb[None, :]
+               - 2.0 * jnp.matmul(a, b.T, precision='highest'))
         )
     else:
         G = jnp.matmul(a, b.T, precision='highest')
@@ -384,15 +388,13 @@ def _xla_reference(X, Y, num_levels, rbf):
 def _xla_reference_diag(X, num_levels, rbf):
     N, L, d = X.shape
     if rbf:
+        # unclamped, matching the fused diag forward (see _xla_reference)
         n = jnp.sum(X * X, -1)
         G = jnp.exp(
             -0.5
-            * jnp.maximum(
-                n[:, :, None] + n[:, None, :]
-                - 2.0 * jnp.einsum("nld,nkd->nlk", X, X,
-                                   precision="highest"),
-                0.0,
-            )
+            * (n[:, :, None] + n[:, None, :]
+               - 2.0 * jnp.einsum("nld,nkd->nlk", X, X,
+                                  precision="highest"))
         )
     else:
         G = jnp.einsum("nld,nkd->nlk", X, X, precision="highest")

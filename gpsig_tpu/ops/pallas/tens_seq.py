@@ -140,13 +140,17 @@ def _xla_reference_tens_seq(Z, X, num_levels, rbf, increments):
     if rbf:
         nz = jnp.sum(z2 * z2, -1)
         nx = jnp.sum(x2 * x2, -1)
+        # NB: deliberately *unclamped* squared distance — the fused Pallas
+        # forward computes exp(-(nx+nz-2G)/2) with no max(·, 0), and this
+        # function is its custom-VJP recompute route, so both must be the
+        # same function (the clamp only differs at exactly-duplicated
+        # points, where it would also zero the lengthscale gradient).
         G = jnp.exp(
             -0.5
-            * jnp.maximum(
+            * (
                 nz[:, None]
                 + nx[None, :]
-                - 2.0 * jnp.matmul(z2, x2.T, precision="highest"),
-                0.0,
+                - 2.0 * jnp.matmul(z2, x2.T, precision="highest")
             )
         )
     else:

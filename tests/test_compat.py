@@ -255,6 +255,48 @@ def test_adam_freeze_variational_never_moves_q(data):
                                   q_sqrt0)
 
 
+def test_adam_state_shared_across_freeze_phases(data):
+    """ADVICE round 2: hyperparameter Adam moments must live in ONE state
+    shared across freeze_variational phases (the reference alternates
+    phases on a single optimizer whose var_list simply excludes the
+    variational params), and a frozen phase must leave the variational
+    moments bit-identical rather than decaying them toward zero."""
+    import optax
+
+    def find_adam(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s
+        if isinstance(s, tuple):
+            for x in s:
+                r = find_adam(x)
+                if r is not None:
+                    return r
+        return None
+
+    model = _tiny_svgp(data, seed=14)
+    adam = gpsig.training.AdamOptimizer(1e-2)
+    adam.minimize(model, maxiter=2, freeze_variational=False)
+    a0 = find_adam(adam._state[model])
+    mu_q0 = np.asarray(a0.mu.q_mu).copy()
+    nu_q0 = np.asarray(a0.nu.q_mu).copy()
+    mu_hyp0 = np.asarray(a0.mu.kernel.raw_lengthscales).copy()
+    assert np.any(mu_hyp0 != 0) and np.any(mu_q0 != 0)
+
+    adam.minimize(model, maxiter=3, freeze_variational=True)
+    a1 = find_adam(adam._state[model])
+    # variational moments pinned bit-identically through the frozen phase
+    np.testing.assert_array_equal(np.asarray(a1.mu.q_mu), mu_q0)
+    np.testing.assert_array_equal(np.asarray(a1.nu.q_mu), nu_q0)
+    # hyper moments advanced in the SAME (shared) state, not a fresh one
+    assert not np.array_equal(np.asarray(a1.mu.kernel.raw_lengthscales),
+                              mu_hyp0)
+
+    # and the unfrozen phase resumes from those shared hyper moments
+    adam.minimize(model, maxiter=1, freeze_variational=False)
+    a2 = find_adam(adam._state[model])
+    assert not np.array_equal(np.asarray(a2.mu.q_mu), mu_q0)
+
+
 def test_low_rank_landmarks_deterministic(data):
     """Low-rank Gram values must not depend on which array touches the
     kernel first (ADVICE round 1): X_example pins the landmarks, and a

@@ -341,23 +341,18 @@ def test_kernel_layer_dispatches_fused_tens_seq(monkeypatch):
     from gpsig_tpu.ops.pallas import tens_seq
     from gpsig_tpu.ops.signature import tensor_factor_count
 
+    # Pass-through spy: the production dispatch must itself request
+    # interpret mode on the CPU backend (regression for a dispatch that
+    # omitted the flag and attempted a real Mosaic compile on CPU).
     calls = {}
     orig = tens_seq._tens_seq_fwd_impl
 
     def spy(Z, X, num_levels, rbf, increments, interpret, mxu=None):
         calls["hit"] = True
-        return orig(Z, X, num_levels, rbf, increments, True, mxu)
+        calls["interpret"] = interpret
+        return orig(Z, X, num_levels, rbf, increments, interpret, mxu)
 
     monkeypatch.setattr(tens_seq, "_tens_seq_fwd_impl", spy)
-    # normalization also dispatches the fused diag kernel; force interpret
-    from gpsig_tpu.ops.pallas import fused_gram
-
-    orig_diag = fused_gram._fused_diag_impl
-    monkeypatch.setattr(
-        fused_gram, "_fused_diag_impl",
-        lambda X, nl, rbf, interpret, mxu=None: orig_diag(X, nl, rbf, True,
-                                                          mxu),
-    )
 
     rng = np.random.default_rng(12)
     nl, T, N, L, d = 3, 5, 4, 9, 2
@@ -369,6 +364,7 @@ def test_kernel_layer_dispatches_fused_tens_seq(monkeypatch):
     want = k_xla.K_tens_vs_seq(Z, X)
     got = k_pal.K_tens_vs_seq(Z, X)
     assert calls.get("hit")
+    assert calls.get("interpret") is True  # CPU backend must interpret
     # the fused kernel's MXU matmuls accumulate in f32 (by design — see
     # fused_gram._mxu_dot), so parity is at f32 resolution even under x64
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
