@@ -126,6 +126,73 @@ def test_goursat_seq_sharded_matches_serial(mesh_dp, col_block):
     )
 
 
+def test_sharded_gram_pallas_matches_dense(mesh2d):
+    """VERDICT r2 #1: the fused Pallas Gram engine composed with Gram-tile
+    sharding (interpret mode on the CPU mesh). Per-shard sizes are
+    deliberately non-lane-aligned: 12 rows / 4 data shards = 3, 10 cols /
+    2 tile shards = 5 — the in-kernel padding must be per-shard correct."""
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(_paths(rng, 12, 6, 2))
+    Y = jnp.asarray(_paths(rng, 10, 6, 2))
+    kern_p = SignatureRBF(2, 3, lengthscales=1.0, order=1, engine="pallas")
+    kern_x = kern_p.replace(engine="xla")
+    want = np.asarray(kern_x.K(X, Y))
+    got = np.asarray(sharded_gram(kern_p, mesh2d, X, Y))
+    # fused-kernel parity is at f32 resolution (MXU f32 accumulation)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_gram_pallas_symmetric(mesh2d):
+    rng = np.random.default_rng(4)
+    X = jnp.asarray(_paths(rng, 12, 5, 2))
+    kern_p = SignatureRBF(2, 2, lengthscales=1.0, order=1, engine="pallas")
+    want = np.asarray(kern_p.replace(engine="xla").K(X))
+    got = np.asarray(sharded_gram(kern_p, mesh2d, X))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("use_natgrad", [False, True])
+def test_sharded_step_pallas_matches_single_device(mesh_dp, use_natgrad):
+    """The full data-parallel natgrad+Adam step with the kernel forced to
+    engine='pallas': Kuf runs the fused tens-vs-seq kernel and the
+    normalisation diag runs the fused diag kernel *inside shard_map*, at a
+    per-shard batch of 2 sequences (nothing lane-aligned)."""
+    rng = np.random.default_rng(5)
+    N = 16
+    X = jnp.asarray(_paths(rng, N, 6, 2))
+    Y = jnp.asarray(rng.integers(0, 2, N))
+    model = _make_model(rng, X)
+    model = model.replace(kernel=model.kernel.replace(engine="pallas"))
+    opt = optax.adam(1e-2)
+
+    ref_step = make_step_fn(opt, num_data=N, gamma=0.1,
+                            use_natgrad=use_natgrad)
+    ref_state = init_state(model, opt)
+    key = jax.random.PRNGKey(0)
+    ref_state, ref_elbo = ref_step(ref_state, X, Y, key)
+    ref_state, ref_elbo2 = ref_step(ref_state, X, Y, key)
+
+    sh_step = make_sharded_step_fn(opt, num_data=N, mesh=mesh_dp, gamma=0.1,
+                                   use_natgrad=use_natgrad)
+    st = init_state(model, opt)
+    Xs, Ys = meshlib.shard_batch(mesh_dp, X, Y)
+    st, elbo = sh_step(st, Xs, Ys, key)
+    st, elbo2 = sh_step(st, Xs, Ys, key)
+
+    # single-device reference also runs the fused engines (interpret), so
+    # the only divergence is psum ordering + per-shard padding: tight tol
+    np.testing.assert_allclose(float(elbo), float(ref_elbo), rtol=1e-6)
+    np.testing.assert_allclose(float(elbo2), float(ref_elbo2), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st.model.q_mu), np.asarray(ref_state.model.q_mu),
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.model.kernel.raw_lengthscales),
+        np.asarray(ref_state.model.kernel.raw_lengthscales), atol=1e-7,
+    )
+
+
 def test_sharded_step_runs_on_2d_mesh(mesh2d):
     """Same step on a (4, 2) mesh — tile axis unused by SVI but the specs
     must compose (the dryrun_multichip configuration)."""
