@@ -600,44 +600,85 @@ def _kcol_wide_raw(xcols, nx, y_ref, jj, d, bx):
 
 
 def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
-                      *, L, d, num_levels, rbf, bx, mxu):
-    """x_ref [1, Lp, d·bx]; y_ref [L, d, 128]; g_ref [bx, _LEVROWS, 128]
-    (cotangents of the level sums); outputs: xb_ref [1, 1, Lp, d·bx]
-    (X̄ partial for this y-block), yb_ref [1, 1, L, d·128] (Ȳ partial for
-    this x-block); yscr: VMEM scratch [L, d·128]."""
+                      *, L, d, num_levels, rbf, bx, sy, mxu):
+    """x_ref [1, Lp, d·bx]; y_ref [L, d, sy·128]; g_ref
+    [bx, _LEVROWS, sy·128] (cotangents of the level sums); outputs:
+    xb_ref [1, 1, Lp, d·bx] (X̄ partial for this y-block group),
+    yb_ref [1, 1, L, d·sy·128] (Ȳ partial for this x-block);
+    yscr: VMEM scratch [L, d·sy·128].
+
+    Same sy sublane-stacking as the forward (``_fused_kernel``): sy y-lane
+    blocks occupy rows h·Lp:(h+1)·Lp with block-diagonal structural
+    matrices, so every DP matmul of the reverse sweep is [sy·Lp, sy·Lp] ·
+    [sy·Lp, ·] — the MXU's M/K tiles fill toward 128 in the backward too.
+    X̄ partials accumulate per stacked row block and are folded over h with
+    exact VPU adds at the end."""
     dt = x_ref.dtype
     Lp = x_ref.shape[1]
     W = bx * _LANE
     nl = num_levels
+    Lq = sy * Lp
 
     er = jax.lax.broadcasted_iota(jnp.int32, (bx, W), 0)
     ec = jax.lax.broadcasted_iota(jnp.int32, (bx, W), 1)
     Eb = (ec // _LANE == er).astype(dt)
     xcols = []
-    nx = jnp.zeros((Lp, W), dt)
+    nx1 = jnp.zeros((Lp, W), dt)
     for dd in range(d):
         xs = x_ref[0, :, dd * bx : (dd + 1) * bx]
         xw = _mxu_dot(xs, Eb, mxu, "left").astype(dt)
         xcols.append(xw)
-        nx = nx + xw * xw
-    SL = _sl(Lp, dt)
-    Dm = _dmat(Lp, L, dt)
+        nx1 = nx1 + xw * xw
+    xcols_s = [
+        jnp.concatenate([xc] * sy, axis=0) if sy > 1 else xc
+        for xc in xcols
+    ]
+    nx = jnp.concatenate([nx1] * sy, axis=0) if sy > 1 else nx1
+    SL = _sl_blk(Lp, sy, dt)
+    Dm = _dmat_blk(Lp, L, sy, dt)
 
     def kcol(jj):
-        G, ny, yws = _kcol_wide_raw(xcols, nx, y_ref, jj, d, bx)
+        """Stacked base-kernel column [Lq, W] + per-channel y rows.
+
+        yws[dd] is materialised at [Lq, W] (row block h broadcasts y-block
+        h's values) because the reverse chain multiplies it elementwise
+        against stacked [Lq, W] cotangents."""
+        yws = []
+        G = jnp.zeros((Lq, W), dt)
+        ny = jnp.zeros((Lq, W), dt)
+        for dd in range(d):
+            rows = []
+            for h in range(sy):
+                yv = y_ref[jj, dd : dd + 1, h * _LANE : (h + 1) * _LANE]
+                yw = jnp.concatenate([yv] * bx, axis=1)  # [1, W]
+                rows.append(jnp.broadcast_to(yw, (Lp, W)))
+            ywf = rows[0] if sy == 1 else jnp.concatenate(rows, axis=0)
+            yws.append(ywf)
+            G = G + xcols_s[dd] * ywf
+            ny = ny + ywf * ywf
         if rbf:
             return jnp.exp(-0.5 * (nx + ny - 2.0 * G)), yws
         return G, yws
 
-    # cotangent lane vectors w_m: [1, W] per level
+    # cotangent blocks w_m: [Lq, W] per level (row block h carries the
+    # cotangents of this grid step's h-th y lane block)
     wvecs = []
     for m in range(1, nl + 1):
-        pieces = [g_ref[b, m : m + 1, :] for b in range(bx)]
-        wvecs.append(jnp.concatenate(pieces, axis=1))
+        rows = []
+        for h in range(sy):
+            pieces = [
+                g_ref[b, m : m + 1, h * _LANE : (h + 1) * _LANE]
+                for b in range(bx)
+            ]
+            wrow = jnp.concatenate(pieces, axis=1)  # [1, W]
+            rows.append(jnp.broadcast_to(wrow, (Lp, W)))
+        wvecs.append(
+            rows[0] if sy == 1 else jnp.concatenate(rows, axis=0)
+        )
 
     # ---- phase 1: forward recompute of the end states CC_m(L-1) ----------
     K0, _ = kcol(0)
-    C0 = jnp.zeros((Lp, max(nl - 1, 1) * W), dt)
+    C0 = jnp.zeros((Lq, max(nl - 1, 1) * W), dt)
 
     def fwd_body(jj, carry):
         Kprev, C = carry
@@ -662,23 +703,33 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
             ubar = Kbar * Kc
             Gbar = ubar
             nxbar = nxbar - 0.5 * ubar
-            nybar = -0.5 * jnp.sum(ubar, axis=0, keepdims=True)
+            # per-row-block ny cotangents: [1, W] for each stacked block h
+            nybars = [
+                -0.5 * jnp.sum(
+                    ubar[h * Lp : (h + 1) * Lp], axis=0, keepdims=True
+                )
+                for h in range(sy)
+            ]
         else:
             Gbar = Kbar
-            nybar = None
+            nybars = None
         yrow_parts = []
         new_xbar = []
         for dd in range(d):
             xb = xbar_acc[:, dd * W : (dd + 1) * W] + Gbar * yws[dd]
             new_xbar.append(xb)
-            yb = jnp.sum(Gbar * xcols[dd], axis=0, keepdims=True)
-            if rbf:
-                yb = yb + 2.0 * yws[dd] * nybar
-            # reduce lane groups: [1, W] -> [1, 128]
-            red = yb[:, :_LANE]
-            for b in range(1, bx):
-                red = red + yb[:, b * _LANE : (b + 1) * _LANE]
-            yrow_parts.append(red)
+            GX = Gbar * xcols_s[dd]
+            for h in range(sy):
+                yb = jnp.sum(
+                    GX[h * Lp : (h + 1) * Lp], axis=0, keepdims=True
+                )
+                if rbf:
+                    yb = yb + 2.0 * yws[dd][h * Lp : h * Lp + 1] * nybars[h]
+                # reduce lane groups: [1, W] -> [1, 128]
+                red = yb[:, :_LANE]
+                for b in range(1, bx):
+                    red = red + yb[:, b * _LANE : (b + 1) * _LANE]
+                yrow_parts.append(red)
         yscr[pl.ds(c_idx, 1), :] = jnp.concatenate(yrow_parts, axis=1)
         return jnp.concatenate(new_xbar, axis=1), nxbar
 
@@ -704,7 +755,7 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
         # cotangents of A_m at this column
         Abars = []
         for m in range(1, nl + 1):
-            ab = jnp.broadcast_to(wvecs[m - 1], (Lp, W))
+            ab = wvecs[m - 1]
             if m <= nl - 1:
                 ab = ab + R[:, (m - 1) * W : m * W]
             Abars.append(ab)
@@ -724,10 +775,10 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
         )
         return (K_lo, yws_lo, CC, R, colDbar, xbar_acc, nxbar)
 
-    xbar0 = jnp.zeros((Lp, d * W), dt)
-    nxbar0 = jnp.zeros((Lp, W), dt)
-    R0 = jnp.zeros((Lp, max(nl - 1, 1) * W), dt)
-    colD0 = jnp.zeros((Lp, W), dt)
+    xbar0 = jnp.zeros((Lq, d * W), dt)
+    nxbar0 = jnp.zeros((Lq, W), dt)
+    R0 = jnp.zeros((Lq, max(nl - 1, 1) * W), dt)
+    colD0 = jnp.zeros((Lq, W), dt)
     (K_last, yws_last, _, _, colDbar_last, xbar_acc, nxbar) = (
         jax.lax.fori_loop(
             0, L - 1, rev_body,
@@ -738,12 +789,21 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
     xbar_acc, nxbar = chain_column(
         0, -colDbar_last, K_last, yws_last, xbar_acc, nxbar
     )
-    # nx chain: x̄w_dd += 2 xw_dd ⊙ nx̄ ; reduce lane groups via Ebᵀ
+
+    def fold(A):
+        """Exact fold of the sy stacked row blocks: [Lq, W] -> [Lp, W]."""
+        out = A[:Lp]
+        for h in range(1, sy):
+            out = out + A[h * Lp : (h + 1) * Lp]
+        return out
+
+    # nx chain: x̄w_dd += 2 xw_dd ⊙ nx̄ ; fold row blocks, then reduce lane
+    # groups via Ebᵀ
     for dd in range(d):
         xb = xbar_acc[:, dd * W : (dd + 1) * W]
         if rbf:
-            xb = xb + 2.0 * xcols[dd] * nxbar
-        xred = _mxu_dot(xb, Eb.T, mxu, "left").astype(dt)  # [Lp, bx]
+            xb = xb + 2.0 * xcols_s[dd] * nxbar
+        xred = _mxu_dot(fold(xb), Eb.T, mxu, "left").astype(dt)  # [Lp, bx]
         xb_ref[0, 0, :, dd * bx : (dd + 1) * bx] = xred
     yb_ref[0, 0] = yscr[...]
 
@@ -751,14 +811,16 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
 def fused_gram_levels_bwd_pallas(X, Y, g, num_levels, rbf=True,
                                  interpret=False, bx=8, mxu=None):
     """Fully-fused backward: (X̄, Ȳ) from level-sum cotangents g
-    [nl+1, N1, N2]. Same tiling as the forward."""
+    [nl+1, N1, N2]. Same tiling (incl. sy sublane-stacking) as the
+    forward."""
     if mxu is None:
         mxu = _default_mxu()
     N1, L, d = X.shape
     N2 = Y.shape[0]
     Lp = _round_up(L, 8)
+    sy = max(1, min(_LANE // Lp, -(-N2 // _LANE)))
     N1p = _round_up(N1, bx)
-    N2p = _round_up(N2, _LANE)
+    N2p = _round_up(N2, sy * _LANE)
     Xp = jnp.pad(X, ((0, N1p - N1), (0, Lp - L), (0, 0)))
     Xpk = Xp.reshape(N1p // bx, bx, Lp, d).transpose(0, 2, 3, 1).reshape(
         N1p // bx, Lp, d * bx
@@ -769,38 +831,39 @@ def fused_gram_levels_bwd_pallas(X, Y, g, num_levels, rbf=True,
     gp = gp.at[:N1, : num_levels + 1, :N2].set(
         jnp.moveaxis(g, 0, 1).astype(X.dtype)
     )
-    nbi, nbj = N1p // bx, N2p // _LANE
+    nbi, nbj = N1p // bx, N2p // (sy * _LANE)
     xb, yb = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf,
-            bx=bx, mxu=mxu,
+            bx=bx, sy=sy, mxu=mxu,
         ),
         grid=(nbi, nbj),
         in_specs=[
             pl.BlockSpec((1, Lp, d * bx), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, d, _LANE), lambda i, j: (0, 0, j),
+            pl.BlockSpec((L, d, sy * _LANE), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bx, _LEVROWS, _LANE), lambda i, j: (i, 0, j),
+            pl.BlockSpec((bx, _LEVROWS, sy * _LANE), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, Lp, d * bx), lambda i, j: (j, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L, d * _LANE), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, L, d * sy * _LANE), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nbj, nbi, Lp, d * bx), X.dtype),
-            jax.ShapeDtypeStruct((nbi, nbj, L, d * _LANE), X.dtype),
+            jax.ShapeDtypeStruct((nbi, nbj, L, d * sy * _LANE), X.dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((L, d * _LANE), X.dtype)],
+        scratch_shapes=[pltpu.VMEM((L, d * sy * _LANE), X.dtype)],
         interpret=interpret,
     )(Xpk, Yt, gp)
     # X̄: sum partials over y-blocks, unpack [nbi, Lp, d, bx] layout
     xbar = jnp.sum(xb, axis=0).reshape(nbi, Lp, d, bx)
     xbar = xbar.transpose(0, 3, 1, 2).reshape(N1p, Lp, d)[:N1, :L]
-    # Ȳ: sum partials over x-blocks; [nbj, L, d, 128] -> [N2, L, d]
-    ybar = jnp.sum(yb, axis=0).reshape(nbj, L, d, _LANE)
-    ybar = ybar.transpose(0, 3, 1, 2).reshape(N2p, L, d)[:N2]
+    # Ȳ: sum partials over x-blocks; yscr lanes are [dd][h][p] so the
+    # y index of lane (dd, h, p) in block j is j·sy·128 + h·128 + p
+    ybar = jnp.sum(yb, axis=0).reshape(nbj, L, d, sy, _LANE)
+    ybar = ybar.transpose(0, 3, 4, 1, 2).reshape(N2p, L, d)[:N2]
     return xbar, ybar

@@ -210,6 +210,36 @@ def test_fused_backward_kernel_matches_vjp(rbf, nl):
 
 
 @pytest.mark.parametrize("rbf", [True, False])
+@pytest.mark.parametrize("N2,L", [(140, 7), (130, 20)])
+def test_fused_backward_kernel_sy_stacked(rbf, N2, L):
+    """VERDICT r2 #3: the backward kernel must use the forward's sy
+    sublane-stacking. These shapes force sy=2 (Lp=8 → sy=min(16, ⌈140/128⌉)
+    and Lp=24 → sy=min(5, ⌈130/128⌉)), with N2 not a multiple of sy·128 so
+    the stacked padding is exercised too."""
+    from gpsig_tpu.ops.pallas import fused_gram as fg
+
+    nl = 3
+    rng = np.random.default_rng(9)
+    X = jnp.asarray(
+        (0.3 * rng.standard_normal((5, L, 2))).cumsum(1), jnp.float32
+    )
+    Y = jnp.asarray(
+        (0.3 * rng.standard_normal((N2, L, 2))).cumsum(1), jnp.float32
+    )
+    g = jnp.asarray(rng.standard_normal((nl + 1, 5, N2)), jnp.float32)
+
+    xb, yb = fg.fused_gram_levels_bwd_pallas(X, Y, g, nl, rbf, True, bx=4)
+    _, vjp = jax.vjp(lambda x, y: fg._xla_reference(x, y, nl, rbf), X, Y)
+    xw, yw = vjp(g)
+    np.testing.assert_allclose(
+        np.asarray(xb), np.asarray(xw), rtol=3e-4, atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(yb), np.asarray(yw), rtol=3e-4, atol=3e-5
+    )
+
+
+@pytest.mark.parametrize("rbf", [True, False])
 def test_fused_diag_matches_xla(rbf):
     from gpsig_tpu.ops.pallas import fused_gram as fg
 
@@ -332,6 +362,38 @@ def test_fused_tens_seq_grad_via_xla_recompute():
                                rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
                                rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("rbf", [True, False])
+@pytest.mark.parametrize("increments", [True, False])
+@pytest.mark.parametrize("nl", [1, 3, 5])
+def test_tens_seq_bwd_pallas_matches_xla_vjp(rbf, increments, nl):
+    """VERDICT r2 #4: the fused VMEM backward must equal the XLA vjp of the
+    recompute reference for every (rbf, increments, nl) combination. T=140
+    forces two tensor blocks (X̄ partial reduction) and N=3 exercises the
+    in-place Z̄ accumulation across the sequence grid axis."""
+    from gpsig_tpu.ops.pallas import tens_seq as ts
+    from gpsig_tpu.ops.signature import tensor_factor_count
+
+    rng = np.random.default_rng(12)
+    T, N, L, d = 140, 3, 11, 2
+    F = tensor_factor_count(nl)
+    shape = (T, F, 2, d) if increments else (T, F, d)
+    Z = jnp.asarray(0.4 * rng.standard_normal(shape), jnp.float32)
+    X = jnp.asarray(0.3 * rng.standard_normal((N, L, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((nl + 1, T, N)), jnp.float32)
+
+    zb, xb = ts.tens_seq_bwd_pallas(Z, X, g, nl, rbf, increments, True)
+    _, vjp = jax.vjp(
+        lambda z, x: ts._xla_reference_tens_seq(z, x, nl, rbf, increments),
+        Z, X,
+    )
+    zw, xw = vjp(g)
+    assert zb.shape == Z.shape and xb.shape == X.shape
+    np.testing.assert_allclose(np.asarray(zb), np.asarray(zw),
+                               rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(xb), np.asarray(xw),
+                               rtol=3e-4, atol=3e-5)
 
 
 def test_kernel_layer_dispatches_fused_tens_seq(monkeypatch):
