@@ -108,15 +108,19 @@ def _device_entries_per_s(engine, conn):
 
         np.asarray(gram_sums(kern, X, jnp.float32(0)))  # compile + settle
         ts = []
-        for i in range(1, 6):
+        for i in range(1, 8):
             t0 = time.time()
             s = np.asarray(gram_sums(kern, X, jnp.float32(i)))
             ts.append(time.time() - t0)
             assert np.all(np.isfinite(s))
-        t_med = sorted(ts)[len(ts) // 2]
-        conn.send((engine, REPEATS * N_DEV * N_DEV / t_med))
+        ts.sort()
+        t_med = ts[len(ts) // 2]
+        # run-to-run spread of the 7 timed dispatches, as % of the median
+        # (VERDICT r2: ~4% deltas are inside noise — report it explicitly)
+        spread_pct = 100.0 * (ts[-1] - ts[0]) / t_med
+        conn.send((engine, REPEATS * N_DEV * N_DEV / t_med, spread_pct))
     except Exception as e:  # noqa: BLE001
-        conn.send(("error", repr(e)))
+        conn.send(("error", repr(e), 0.0))
     finally:
         conn.close()
 
@@ -129,7 +133,7 @@ def measure_device(engine, timeout):
     if parent.poll(timeout):
         result = parent.recv()
     else:
-        result = ("timeout", None)
+        result = ("timeout", None, 0.0)
     p.join(5)
     if p.is_alive():
         p.terminate()
@@ -144,9 +148,9 @@ def main():
     numpy_reference_gram(Xc, NUM_LEVELS)
     cpu_entries_per_s = (N_CPU * N_CPU) / (time.time() - t0)
 
-    tag, value = measure_device("pallas", PALLAS_TIMEOUT_S)
+    tag, value, spread_pct = measure_device("pallas", PALLAS_TIMEOUT_S)
     if tag != "pallas":
-        tag2, value = measure_device("xla", PALLAS_TIMEOUT_S)
+        tag2, value, spread_pct = measure_device("xla", PALLAS_TIMEOUT_S)
         engine_used = "xla" if tag2 == "xla" else "failed"
         if engine_used == "failed":
             value = 0.0
@@ -160,8 +164,11 @@ def main():
                 "value": round(float(value), 1),
                 "unit": f"entries/s (N={N_DEV}, L={L}, d={D}, "
                         f"levels={NUM_LEVELS}, RBF, normalized, f32, "
-                        f"engine={engine_used}; baseline: NumPy f64 CPU)",
+                        f"engine={engine_used}, median of 7 dispatches, "
+                        f"spread {spread_pct:.1f}%; "
+                        f"baseline: NumPy f64 CPU)",
                 "vs_baseline": round(float(value) / cpu_entries_per_s, 2),
+                "spread_pct": round(float(spread_pct), 1),
             }
         )
     )

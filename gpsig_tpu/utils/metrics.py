@@ -66,3 +66,45 @@ class StepTimer:
     def mean(self):
         ts = self.times[self.warmup:]
         return sum(ts) / max(len(ts), 1)
+
+
+def effective_sample_size(chains):
+    """Cross-chain ESS per coordinate (Geyer initial monotone sequence).
+
+    chains: [C, S, D] numpy array of post-warmup draws. Returns [D] ESS
+    following the Stan/Vehtari multi-chain estimator: autocovariances
+    averaged over chains, combined with between-chain variance, summed over
+    lag pairs until the first negative pair, with the monotone adjustment.
+    """
+    import numpy as np
+
+    x = np.asarray(chains, np.float64)
+    C, S, D = x.shape
+    mean_c = x.mean(axis=1)  # [C, D]
+    var_c = x.var(axis=1, ddof=1)  # [C, D]
+    W = var_c.mean(0)  # within-chain variance
+    B = S * mean_c.var(axis=0, ddof=1) if C > 1 else np.zeros(D)
+    var_plus = W * (S - 1) / S + (B / S if C > 1 else 0.0)
+
+    # FFT autocovariance per chain/coordinate
+    xc = x - x.mean(axis=1, keepdims=True)
+    n_fft = 1 << (2 * S - 1).bit_length()
+    f = np.fft.rfft(xc, n=n_fft, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), n=n_fft, axis=1)[:, :S].real
+    acov = acov / S  # biased (Geyer convention)
+    rho_hat = 1.0 - (W - acov.mean(axis=0)) / np.maximum(var_plus, 1e-300)
+
+    ess = np.empty(D)
+    for dd in range(D):
+        r = rho_hat[:, dd]
+        # pairwise sums Γ_k = ρ_{2k} + ρ_{2k+1}, truncate at first negative,
+        # then enforce monotone decrease
+        tmax = (S - 1) // 2
+        gam = r[0 : 2 * tmax : 2] + r[1 : 2 * tmax + 1 : 2]
+        pos = gam > 0
+        k_end = int(np.argmin(pos)) if not pos.all() else len(gam)
+        gam = np.minimum.accumulate(gam[:k_end]) if k_end else gam[:0]
+        tau = -1.0 + 2.0 * gam.sum()
+        # cap at the draw count (conservative vs Stan's CS·log10(CS) cap)
+        ess[dd] = min(C * S / max(tau, 1e-12), C * S)
+    return ess

@@ -324,6 +324,72 @@ def job_fused_breakdown():
               f"({R*N*N/t/1e6:.1f}M entries/s)", flush=True)
 
 
+def job_nuts():
+    """BASELINE config 5 on-chip (VERDICT r2 #2): 16 vmapped NUTS chains
+    over signature-GPR hyperparameters on the real device — wall time for
+    warmup+sampling, ESS/s, and whether the iterative tree-doubling
+    while-loops compile acceptably."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.data.synthetic import regression_sequences
+    from gpsig_tpu.kernels.signature import SignatureRBF
+    from gpsig_tpu.models.gpr import GPR
+    from gpsig_tpu import params as pr
+    from gpsig_tpu.parallel import mesh as meshlib
+    from gpsig_tpu.parallel.chains import run_chains_sharded
+    from gpsig_tpu.utils.metrics import effective_sample_size
+
+    dtype = jnp.float32
+    d, nl = 2, 3
+    C, WARM, SAMP, DEPTH = 16, 100, 100, 6
+    X, y = regression_sequences(seed=0, N=40, L=20, d=d)
+    Xj, yj = jnp.asarray(X, dtype), jnp.asarray(y, dtype)
+
+    def logp(theta):
+        ell = jnp.exp(theta[:d])
+        var = jnp.exp(theta[d : d + nl + 1])
+        noise = jnp.exp(theta[-1])
+        kern = SignatureRBF(d, nl, lengthscales=1.0, order=1,
+                            normalization=True, dtype=dtype)
+        kern = kern.replace(raw_lengthscales=pr.inv_positive(ell),
+                            raw_variances=pr.inv_positive(var))
+        m = GPR.create(kern, noise_variance=noise, dtype=dtype)
+        return m.log_marginal_likelihood(Xj, yj) - 0.5 * jnp.sum(
+            theta**2) / 4.0
+
+    dim = d + nl + 2
+    mesh = meshlib.make_mesh()
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (C, dim), dtype)
+
+    t0 = time.time()
+    samples, info = run_chains_sharded(
+        jax.random.PRNGKey(0), logp, theta0, mesh,
+        num_warmup=WARM, num_samples=SAMP, max_depth=DEPTH,
+    )
+    jax.block_until_ready(samples)
+    t_compile_and_run = time.time() - t0
+    # honest steady-state: rerun with a different key (same compiled fn)
+    t0 = time.time()
+    samples, info = run_chains_sharded(
+        jax.random.PRNGKey(7), logp, theta0, mesh,
+        num_warmup=WARM, num_samples=SAMP, max_depth=DEPTH,
+    )
+    s = np.asarray(samples)
+    t_run = time.time() - t0
+    ess = effective_sample_size(s)
+    leaves = float(np.asarray(info["num_leaves"]).mean())
+    print(f"nuts on-chip: chains={C} dim={dim} warmup={WARM} "
+          f"samples={SAMP} max_depth={DEPTH}")
+    print(f"  first call (compile+run) {t_compile_and_run:.1f} s; "
+          f"steady-state {t_run:.1f} s "
+          f"({C * SAMP / t_run:.1f} draws/s)")
+    print(f"  mean accept {float(np.asarray(info['accept_prob']).mean()):.3f}"
+          f"  divergent {float(np.asarray(info['diverging']).mean()):.3f}"
+          f"  mean leaves/draw {leaves:.1f}")
+    print(f"  ESS min/med/max {ess.min():.0f}/{np.median(ess):.0f}/"
+          f"{ess.max():.0f}  -> min ESS/s {ess.min() / t_run:.2f}")
+
+
 if __name__ == "__main__":
     job = sys.argv[1] if len(sys.argv) > 1 else "fused_fwd"
     t0 = time.time()
@@ -335,5 +401,6 @@ if __name__ == "__main__":
      "fused_mxu": job_fused_mxu,
      "tens_seq": job_tens_seq,
      "goursat_fused": job_goursat_fused,
-     "fused_breakdown": job_fused_breakdown}[job]()
+     "fused_breakdown": job_fused_breakdown,
+     "nuts": job_nuts}[job]()
     print(f"total {time.time()-t0:.1f} s")
