@@ -11,6 +11,11 @@ Exit code 1 on any violation.
 
 Recalibrate (only after an *intentional* change to the suite or protocol):
     python benchmarks/run_all.py --cpu --x64 --write-windows
+Calibration runs the protocol once per seed in ``--calib-seeds`` (default
+0 1 2) and sets acc_min = min-over-seeds − max(0.04, seed spread) and
+nlpp_max = max-over-seeds·1.15 + 0.05, so a kernel bug costing a few
+points on every dataset fails the harness while seed/f32 jitter passes
+(VERDICT r2 #6). The checking run itself always uses seed 0.
 Real UEA archives (when present under GPSIG_TPU_DATA_DIR) can be named via
 ``--datasets`` too; they are reported but never window-checked.
 """
@@ -97,6 +102,8 @@ def main():
     p.add_argument("--write-windows", action="store_true",
                    help="recalibrate expected_windows.json from this run "
                         "(requires --cpu --x64)")
+    p.add_argument("--calib-seeds", type=int, nargs="*", default=[0, 1, 2],
+                   help="training seeds used by --write-windows")
     args = p.parse_args()
     setup_jax(args)
 
@@ -111,6 +118,37 @@ def main():
         p.error("--write-windows requires --cpu --x64 (windows are "
                 "calibrated from the float64 CPU ground truth)")
 
+    if args.write_windows:
+        new = {}
+        for name in names:
+            if name not in uea_like.available_datasets():
+                continue
+            accs, nlpps = [], []
+            for seed in args.calib_seeds:
+                proto = dict(PROTOCOL, seed=seed)
+                res = run_dataset(name, args, protocol=proto)
+                accs.append(res["acc"])
+                nlpps.append(res["nlpp"])
+                print(f"{name:>18} seed={seed} acc={res['acc']:.3f} "
+                      f"nlpp={res['nlpp']:.3f} "
+                      f"t={res['train_time_s']:.0f}s", flush=True)
+            spread = max(accs) - min(accs)
+            new[name] = dict(
+                fingerprint=uea_like.dataset_fingerprint(name),
+                acc_min=round(max(0.0, min(accs) - max(0.04, spread)), 3),
+                nlpp_max=round(max(nlpps) * 1.15 + 0.05, 3),
+                measured=dict(acc_per_seed=dict(zip(
+                    map(str, args.calib_seeds), accs)),
+                    nlpp_per_seed=dict(zip(
+                        map(str, args.calib_seeds), nlpps)),
+                    acc_spread=round(spread, 4)),
+                protocol=PROTOCOL,
+                calib_seeds=args.calib_seeds,
+            )
+        json.dump(new, open(WINDOWS_PATH, "w"), indent=1, sort_keys=True)
+        print(f"wrote {WINDOWS_PATH}")
+        return
+
     results, failures = [], []
     for name in names:
         res = run_dataset(name, args)
@@ -119,7 +157,7 @@ def main():
             res["fingerprint"] = uea_like.dataset_fingerprint(name)
         results.append(res)
         status = "—"
-        if frozen and not args.write_windows and name in windows:
+        if frozen and name in windows:
             win = windows[name]
             fails = check_window(res, win)
             if win.get("fingerprint") is not None and res[
@@ -137,21 +175,6 @@ def main():
               f"acc={res['acc']:.3f} nlpp={res['nlpp']:.3f} "
               f"elbo={res['final_elbo']:.1f} "
               f"t={res['train_time_s']:.0f}s  {status}", flush=True)
-
-    if args.write_windows:
-        new = {}
-        for res in results:
-            if "fingerprint" not in res:
-                continue
-            new[res["dataset"]] = dict(
-                fingerprint=res["fingerprint"],
-                acc_min=round(max(0.0, res["acc"] - 0.08), 3),
-                nlpp_max=round(res["nlpp"] * 1.35 + 0.05, 3),
-                measured=dict(acc=res["acc"], nlpp=res["nlpp"]),
-                protocol=PROTOCOL,
-            )
-        json.dump(new, open(WINDOWS_PATH, "w"), indent=1, sort_keys=True)
-        print(f"wrote {WINDOWS_PATH}")
 
     print(json.dumps({"suite": "uea_like", "n_datasets": len(results),
                       "mean_acc": round(float(np.mean([r["acc"] for r in

@@ -46,6 +46,9 @@ parser.add_argument("--num-tensors", type=int, default=64)
 parser.add_argument("--num-levels", type=int, default=4)
 parser.add_argument("--seq-len", type=int, default=50)
 parser.add_argument("--steps", type=int, default=20)
+parser.add_argument("--emit", default=None,
+                    help="also write the result JSON to this path "
+                         "(CI artifact; process 0 only in multiproc mode)")
 args = parser.parse_args()
 
 multiproc = args.coordinator is not None
@@ -126,7 +129,10 @@ def main():
         mesh = meshlib.make_mesh(data=n, tile=1)
         row = measure(mesh, n)
         if jax.process_index() == 0:
+            row["num_processes"] = args.num_processes
             print(json.dumps(row), flush=True)
+            if args.emit:
+                json.dump(row, open(args.emit, "w"), indent=1)
         return
 
     all_dev = jax.devices()
@@ -141,13 +147,18 @@ def main():
     base = rows[0]["steps_per_s"]
     for r in rows:
         r["efficiency"] = r["steps_per_s"] / base
-    print(json.dumps({
+    summary = {
+        "rows": rows,
         "summary": [
             {"devices": r["devices"],
              "efficiency": round(r["efficiency"], 3)} for r in rows
         ],
         "target": ">=0.8 weak-scaling efficiency (BASELINE.md)",
-    }), flush=True)
+    }
+    print(json.dumps({k: summary[k] for k in ("summary", "target")}),
+          flush=True)
+    if args.emit:
+        json.dump(summary, open(args.emit, "w"), indent=1)
 
 
 if __name__ == "__main__":

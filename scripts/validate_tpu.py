@@ -324,6 +324,177 @@ def job_fused_breakdown():
               f"({R*N*N/t/1e6:.1f}M entries/s)", flush=True)
 
 
+def job_fused_fwdgrad():
+    """VERDICT r2 #3: jitted fwd+grad vs fwd-only of the fused Gram at
+    N=256 after sy-stacking the backward — parity vs the XLA vjp first,
+    then amortized timings."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops.pallas import fused_gram as fg
+
+    N, L, d, nl, R = 256, 50, 2, 4, 16
+    rng = np.random.default_rng(0)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    Y = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    g = jnp.asarray(rng.standard_normal((nl + 1, N, N)), jnp.float32)
+
+    xb, yb = fg.fused_gram_levels_bwd_pallas(X, Y, g, nl, True)
+    xb, yb = np.asarray(xb), np.asarray(yb)
+    _, vjp = jax.vjp(lambda x, y: fg._xla_reference(x, y, nl, True), X, Y)
+    xw, yw = vjp(g)
+    xw, yw = np.asarray(xw), np.asarray(yw)
+    ex = np.max(np.abs(xb - xw)) / (np.max(np.abs(xw)) + 1e-12)
+    ey = np.max(np.abs(yb - yw)) / (np.max(np.abs(yw)) + 1e-12)
+    print(f"sy-stacked bwd parity rel-err X̄ {ex:.2e}  Ȳ {ey:.2e}")
+
+    fwd = jax.jit(lambda x, s: jax.lax.scan(
+        lambda c, e: (c, jnp.sum(fg.fused_gram_levels(
+            x * (1 + e), x, nl, True))),
+        0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
+    fwdgrad = jax.jit(lambda x, s: jax.lax.scan(
+        lambda c, e: (c, jnp.sum(jax.grad(
+            lambda xx: jnp.sum(fg.fused_gram_levels(xx, xx, nl, True)))(
+                x * (1 + e)))),
+        0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
+    for name, fn in (("fwd-only", fwd), ("fwd+grad", fwdgrad)):
+        np.asarray(fn(X, jnp.float32(0)))
+        t = _median_time(lambda i, fn=fn: np.asarray(fn(X, jnp.float32(i))))
+        print(f"fused gram {name}: {t/R*1e3:.2f} ms/gram "
+              f"({R*N*N/t/1e6:.1f}M entries/s)", flush=True)
+
+
+def job_tens_seq_grad():
+    """VERDICT r2 #4: fused tens_seq fwd+grad vs fwd-only at the flagship
+    Kuf shape (M=500, B=50, L=50, nl=5, increments) — the training step's
+    gradients must no longer pay the XLA-recompute HBM wall."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops.pallas import tens_seq as ts
+    from gpsig_tpu.ops.signature import tensor_factor_count
+
+    T, N, L, d, nl, R = 500, 50, 50, 3, 5, 16
+    F = tensor_factor_count(nl)
+    rng = np.random.default_rng(0)
+    Z = jnp.asarray(0.3 * rng.standard_normal((T, F, 2, d)), jnp.float32)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    g = jnp.asarray(rng.standard_normal((nl + 1, T, N)), jnp.float32)
+
+    zb, xb = ts.tens_seq_bwd_pallas(Z, X, g, nl, True, True)
+    zb, xb = np.asarray(zb), np.asarray(xb)
+    _, vjp = jax.vjp(
+        lambda z, x: ts._xla_reference_tens_seq(z, x, nl, True, True), Z, X)
+    zw, xw = vjp(g)
+    zw, xw = np.asarray(zw), np.asarray(xw)
+    ez = np.max(np.abs(zb - zw)) / (np.max(np.abs(zw)) + 1e-12)
+    ex = np.max(np.abs(xb - xw)) / (np.max(np.abs(xw)) + 1e-12)
+    print(f"tens_seq fused bwd parity rel-err Z̄ {ez:.2e}  X̄ {ex:.2e}")
+
+    fwd = jax.jit(lambda z, x, s: jax.lax.scan(
+        lambda c, e: (c, jnp.sum(ts.fused_tens_seq_levels(
+            z, x * (1 + e), nl, True, True))),
+        0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
+    fwdgrad = jax.jit(lambda z, x, s: jax.lax.scan(
+        lambda c, e: (c, jnp.sum(jax.grad(
+            lambda zz: jnp.sum(ts.fused_tens_seq_levels(
+                zz, x * (1 + e), nl, True, True)))(z))),
+        0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
+    for name, fn in (("fwd-only", fwd), ("fwd+grad(Z)", fwdgrad)):
+        np.asarray(fn(Z, X, jnp.float32(0)))
+        t = _median_time(
+            lambda i, fn=fn: np.asarray(fn(Z, X, jnp.float32(i))))
+        print(f"tens_seq {name}: {t/R*1e3:.2f} ms/Kuf "
+              f"({R*T*N/t/1e6:.2f}M entries/s)", flush=True)
+
+
+def job_sharded_step():
+    """VERDICT r2 #1 on-chip leg: the sharded training step (1-chip mesh)
+    with the fused Pallas engines — the two headline features compiled
+    together on real hardware."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from gpsig_tpu import likelihoods as liks
+    from gpsig_tpu.inducing import make_inducing_tensors_from_data
+    from gpsig_tpu.kernels.signature import SignatureRBF
+    from gpsig_tpu.models.svgp import SVGP
+    from gpsig_tpu.parallel import mesh as meshlib
+    from gpsig_tpu.parallel.train import make_sharded_step_fn, sharded_gram
+    from gpsig_tpu.training.loop import init_state
+
+    N, L, d, nl, M = 256, 50, 2, 4, 128
+    rng = np.random.default_rng(0)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    Y = jnp.asarray(rng.integers(0, 2, N))
+    mesh = meshlib.make_mesh()  # all (=1) chips on the data axis
+
+    for engine in ("pallas", "xla"):
+        kern = SignatureRBF(d, nl, lengthscales=1.0, order=1,
+                            normalization=True, dtype=jnp.float32,
+                            engine=engine)
+        feat = make_inducing_tensors_from_data(
+            jax.random.PRNGKey(0), X, num_tensors=M, num_levels=nl,
+            num_features=d, increments=True)
+        model = SVGP.create(kern, liks.MultiClass(num_classes=2), feat,
+                            num_latent=2, dtype=jnp.float32)
+        opt = optax.adam(1e-3)
+        step = make_sharded_step_fn(opt, num_data=N, mesh=mesh, gamma=0.1,
+                                    use_natgrad=True)
+        state = init_state(model, opt)
+        Xs, Ys = meshlib.shard_batch(mesh, X, Y)
+        t0 = time.time()
+        state, elbo = step(state, Xs, Ys, jax.random.PRNGKey(0))
+        elbo.block_until_ready()
+        t_compile = time.time() - t0
+        ts = []
+        for i in range(5):
+            key = jax.random.PRNGKey(i + 1)
+            t0 = time.time()
+            state, elbo = step(state, Xs, Ys, key)
+            e = float(elbo)
+            ts.append(time.time() - t0)
+        t_med = sorted(ts)[len(ts) // 2]
+        assert np.isfinite(e)
+        print(f"sharded step engine={engine}: compile+1st {t_compile:.1f}s, "
+              f"steady {t_med*1e3:.1f} ms/step "
+              f"({1/t_med:.1f} steps/s), elbo {e:.1f}", flush=True)
+        if engine == "pallas":
+            K = sharded_gram(state.model.kernel, mesh, X)
+            assert np.all(np.isfinite(np.asarray(K)))
+            print("sharded_gram (pallas, 1-chip mesh) finite: ok",
+                  flush=True)
+
+
+def job_stable_chol():
+    """VERDICT r2 #8: stable_cholesky overhead at M=500 f32 on-chip —
+    healthy-path cost vs a raw cholesky after the lazy-escalation rewrite."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu import gauss
+
+    M, R = 500, 64
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((M, 2 * M)).astype(np.float32)
+    K0 = jnp.asarray(A @ A.T / (2 * M) + 1e-3 * np.eye(M, dtype=np.float32))
+
+    raw = jax.jit(lambda K, s: jax.lax.scan(
+        lambda c, e: (c, jnp.sum(jnp.linalg.cholesky(K + e * jnp.eye(
+            M, dtype=K.dtype)))),
+        0.0, 1e-5 * (s + jnp.arange(R, dtype=K.dtype)))[1])
+    stab = jax.jit(lambda K, s: jax.lax.scan(
+        lambda c, e: (c, jnp.sum(gauss.stable_cholesky(K + e * jnp.eye(
+            M, dtype=K.dtype)))),
+        0.0, 1e-5 * (s + jnp.arange(R, dtype=K.dtype)))[1])
+    for name, fn in (("raw chol", raw), ("stable_cholesky", stab)):
+        r = np.asarray(fn(K0, jnp.float32(0)))
+        assert np.all(np.isfinite(r))
+        t = _median_time(lambda i, fn=fn: np.asarray(fn(K0, jnp.float32(i))))
+        print(f"{name}: {t/R*1e3:.3f} ms/call (M={M}, f32)", flush=True)
+
+
 def job_nuts():
     """BASELINE config 5 on-chip (VERDICT r2 #2): 16 vmapped NUTS chains
     over signature-GPR hyperparameters on the real device — wall time for
@@ -402,5 +573,9 @@ if __name__ == "__main__":
      "tens_seq": job_tens_seq,
      "goursat_fused": job_goursat_fused,
      "fused_breakdown": job_fused_breakdown,
+     "fused_fwdgrad": job_fused_fwdgrad,
+     "tens_seq_grad": job_tens_seq_grad,
+     "sharded_step": job_sharded_step,
+     "stable_chol": job_stable_chol,
      "nuts": job_nuts}[job]()
     print(f"total {time.time()-t0:.1f} s")
