@@ -287,24 +287,22 @@ def _dmat_blk(Lp, L, sy, dtype):
 
 
 def _diag_kernel(xt_ref, out_ref, *, L, d, num_levels, rbf, mxu):
-    """Self-pair variant: both sides per-lane. xt_ref: [Lp, d, 128]
-    (rows pre-padded to Lp)."""
+    """Self-pair variant: both sides per-lane. xt_ref: [Lp, d(+1 for
+    RBF), 128] (rows pre-padded to Lp; for RBF the wrapper packs −½Σx²
+    as channel d — see kcol_stacked's VPU-floor note)."""
     dt = xt_ref.dtype
     Lp = xt_ref.shape[0]
+    xcols = [xt_ref[:, dd, :] for dd in range(d)]  # [Lp, 128] each
+    nxc = xt_ref[:, d, :] if rbf else None  # −½Σx², packed
 
     def kcol_diag(jj):
-        G = jnp.zeros((Lp, _LANE), dt)
-        nyj = jnp.zeros((1, _LANE), dt)
-        nx = jnp.zeros((Lp, _LANE), dt)
+        if rbf:
+            G = nxc + xt_ref[jj, d : d + 1, :]
+        else:
+            G = jnp.zeros((Lp, _LANE), dt)
         for dd in range(d):
-            yv = xt_ref[jj, dd : dd + 1, :]  # [1, 128]
-            xcol = xt_ref[:, dd, :]  # [Lp, 128]
-            G = G + xcol * yv
-            nyj = nyj + yv * yv
-            nx = nx + xcol * xcol
-        if not rbf:
-            return G
-        return jnp.exp(-0.5 * (nx + nyj - 2.0 * G))
+            G = G + xcols[dd] * xt_ref[jj, dd : dd + 1, :]
+        return jnp.exp(G) if rbf else G
 
     SL = _sl(Lp, dt)
     Dm = _dmat(Lp, L, dt)
@@ -514,6 +512,11 @@ def _fused_diag_impl(X, num_levels, rbf, interpret, mxu=None):
     Lp = _round_up(L, 8)
     Np = _round_up(N, _LANE)
     Xt = jnp.moveaxis(X, 0, -1)  # [L, d, N]
+    dx = d
+    if rbf:
+        cx = -0.5 * jnp.sum(X * X, -1).T[:, None, :]  # [L, 1, N]
+        Xt = jnp.concatenate([Xt, cx.astype(X.dtype)], axis=1)
+        dx = d + 1
     Xt = jnp.pad(Xt, ((0, Lp - L), (0, 0), (0, Np - N)))
     out = pl.pallas_call(
         functools.partial(
@@ -521,7 +524,7 @@ def _fused_diag_impl(X, num_levels, rbf, interpret, mxu=None):
         ),
         grid=(Np // _LANE,),
         in_specs=[
-            pl.BlockSpec((Lp, d, _LANE), lambda j: (0, 0, j),
+            pl.BlockSpec((Lp, dx, _LANE), lambda j: (0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _LEVROWS, _LANE), lambda j: (j, 0, 0),

@@ -64,8 +64,9 @@ from gpsig_tpu.ops.pallas.fused_gram import (
 
 def _tens_seq_kernel(z_ref, x_ref, out_ref, *, L, d, num_levels, rbf,
                      increments, mxu):
-    """z_ref: [F2, d, 128] (factor-major tensor lanes); x_ref: [1, Lp, d]
-    (one sequence, rows pre-padded); out_ref: [1, _LEVROWS, 128]."""
+    """z_ref: [F2, d(+1 for RBF), 128] (factor-major tensor lanes; for RBF
+    the wrapper packs −½Σz² as channel d); x_ref: [1, Lp, d] (one
+    sequence, rows pre-padded); out_ref: [1, _LEVROWS, 128]."""
     dt = x_ref.dtype
     Lp = x_ref.shape[1]
     nl = num_levels
@@ -79,18 +80,18 @@ def _tens_seq_kernel(z_ref, x_ref, out_ref, *, L, d, num_levels, rbf,
         xc = jnp.broadcast_to(x_ref[0, :, dd : dd + 1], (Lp, _LANE))
         xcols.append(xc)
         nx = nx + xc * xc
+    nxc = -0.5 * nx if rbf else None  # hoisted out of the factor loop
 
     def kblock(f):
-        """Base-kernel slab for factor row f: [Lp, 128]."""
-        G = jnp.zeros((Lp, _LANE), dt)
-        nz = jnp.zeros((1, _LANE), dt)
+        """Base-kernel slab for factor row f: [Lp, 128] — pure FMA
+        accumulation for RBF (−½nx −½nz + Σ x·z, then one exp)."""
+        if rbf:
+            G = nxc + z_ref[f, d : d + 1, :]
+        else:
+            G = jnp.zeros((Lp, _LANE), dt)
         for dd in range(d):
-            zr = z_ref[f, dd : dd + 1, :]  # [1, 128]
-            G = G + xcols[dd] * zr
-            nz = nz + zr * zr
-        if not rbf:
-            return G
-        return jnp.exp(-0.5 * (nx + nz - 2.0 * G))
+            G = G + xcols[dd] * z_ref[f, dd : dd + 1, :]
+        return jnp.exp(G) if rbf else G
 
     # raw factor slabs, pair-differenced when factors are RKHS increments
     if increments:
@@ -198,6 +199,11 @@ def _tens_seq_fwd_impl(Z, X, num_levels, rbf, increments, interpret,
     F2 = 2 * F if increments else F
     # [T, F(,2), d] -> [F2, d, Tp]
     Zt = jnp.moveaxis(Z.reshape(T, F2, d), 0, -1)
+    dz = d
+    if rbf:
+        cz = -0.5 * jnp.sum(Zt * Zt, 1, keepdims=True)  # [F2, 1, T]
+        Zt = jnp.concatenate([Zt, cz.astype(Zt.dtype)], axis=1)
+        dz = d + 1
     if Tp != T:
         Zt = jnp.pad(Zt, ((0, 0), (0, 0), (0, Tp - T)))
     Xp = jnp.pad(X, ((0, 0), (0, Lp - L), (0, 0)))
@@ -208,7 +214,7 @@ def _tens_seq_fwd_impl(Z, X, num_levels, rbf, increments, interpret,
         ),
         grid=(Tp // _LANE, N),
         in_specs=[
-            pl.BlockSpec((F2, d, _LANE), lambda i, j: (0, 0, i),
+            pl.BlockSpec((F2, dz, _LANE), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Lp, d), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
