@@ -571,30 +571,13 @@ fused_diag_levels.defvjp(_diag_vjp_fwd, _diag_vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _kcol_wide_raw(xcols, nx, y_ref, jj, d, bx):
-    """Returns (G, ny, yws): the pre-exp pieces of a base-kernel column."""
-    Lp = nx.shape[0]
-    W = bx * _LANE
-    dt = nx.dtype
-    G = jnp.zeros((Lp, W), dt)
-    ny = jnp.zeros((1, W), dt)
-    yws = []
-    for dd in range(d):
-        yv = y_ref[jj, dd : dd + 1, :]
-        yw = jnp.concatenate([yv] * bx, axis=1)
-        yws.append(yw)
-        G = G + xcols[dd] * yw
-        ny = ny + yw * yw
-    return G, ny, yws
-
-
 def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
                       *, L, d, num_levels, rbf, bx, sy, mxu):
-    """x_ref [1, Lp, d·bx]; y_ref [L, d, sy·128]; g_ref
-    [bx, _LEVROWS, sy·128] (cotangents of the level sums); outputs:
-    xb_ref [1, 1, Lp, d·bx] (X̄ partial for this y-block group),
-    yb_ref [1, 1, L, d·sy·128] (Ȳ partial for this x-block);
-    yscr: VMEM scratch [L, d·sy·128].
+    """x_ref [1, Lp, d·bx]; y_ref [L, d(+1 for RBF), sy·128] (the wrapper
+    packs −½Σy² as channel d); g_ref [bx, _LEVROWS, sy·128] (cotangents of
+    the level sums); outputs: xb_ref [1, 1, Lp, d·bx] (X̄ partial for this
+    y-block group), yb_ref [1, 1, L, d·sy·128] (Ȳ partial for this
+    x-block); yscr: VMEM scratch [L, d·sy·128].
 
     Same sy sublane-stacking as the forward (``_fused_kernel``): sy y-lane
     blocks occupy rows h·Lp:(h+1)·Lp with block-diagonal structural
@@ -622,7 +605,10 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
         jnp.concatenate([xc] * sy, axis=0) if sy > 1 else xc
         for xc in xcols
     ]
-    nx = jnp.concatenate([nx1] * sy, axis=0) if sy > 1 else nx1
+    nxc = (
+        jnp.concatenate([-0.5 * nx1] * sy, axis=0) if sy > 1
+        else -0.5 * nx1
+    )
     SL = _sl_blk(Lp, sy, dt)
     Dm = _dmat_blk(Lp, L, sy, dt)
 
@@ -631,10 +617,23 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
 
         yws[dd] is materialised at [Lq, W] (row block h broadcasts y-block
         h's values) because the reverse chain multiplies it elementwise
-        against stacked [Lq, W] cotangents."""
+        against stacked [Lq, W] cotangents. RBF columns use the packed
+        −½Σy² channel (pure FMA accumulation, see the forward kernel)."""
         yws = []
-        G = jnp.zeros((Lq, W), dt)
-        ny = jnp.zeros((Lq, W), dt)
+        if rbf:
+            rows = []
+            for h in range(sy):
+                cyv = y_ref[jj, d : d + 1, h * _LANE : (h + 1) * _LANE]
+                rows.append(jnp.concatenate([cyv] * bx, axis=1))
+            cyw = (
+                jnp.concatenate(
+                    [jnp.broadcast_to(r, (Lp, W)) for r in rows], axis=0
+                )
+                if sy > 1 else jnp.broadcast_to(rows[0], (Lp, W))
+            )
+            G = nxc + cyw
+        else:
+            G = jnp.zeros((Lq, W), dt)
         for dd in range(d):
             rows = []
             for h in range(sy):
@@ -644,9 +643,8 @@ def _bwd_fused_kernel(x_ref, y_ref, g_ref, xb_ref, yb_ref, yscr,
             ywf = rows[0] if sy == 1 else jnp.concatenate(rows, axis=0)
             yws.append(ywf)
             G = G + xcols_s[dd] * ywf
-            ny = ny + ywf * ywf
         if rbf:
-            return jnp.exp(-0.5 * (nx + ny - 2.0 * G)), yws
+            return jnp.exp(G), yws
         return G, yws
 
     # cotangent blocks w_m: [Lq, W] per level (row block h carries the
@@ -815,6 +813,11 @@ def fused_gram_levels_bwd_pallas(X, Y, g, num_levels, rbf=True,
         N1p // bx, Lp, d * bx
     )
     Yt = jnp.moveaxis(Y, 0, -1)
+    dy = d
+    if rbf:
+        cy = -0.5 * jnp.sum(Y * Y, -1).T[:, None, :]  # [L, 1, N2]
+        Yt = jnp.concatenate([Yt, cy.astype(Y.dtype)], axis=1)
+        dy = d + 1
     Yt = jnp.pad(Yt, ((0, 0), (0, 0), (0, N2p - N2)))
     gp = jnp.zeros((N1p, _LEVROWS, N2p), X.dtype)
     gp = gp.at[:N1, : num_levels + 1, :N2].set(
@@ -830,7 +833,7 @@ def fused_gram_levels_bwd_pallas(X, Y, g, num_levels, rbf=True,
         in_specs=[
             pl.BlockSpec((1, Lp, d * bx), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, d, sy * _LANE), lambda i, j: (0, 0, j),
+            pl.BlockSpec((L, dy, sy * _LANE), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bx, _LEVROWS, sy * _LANE), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),

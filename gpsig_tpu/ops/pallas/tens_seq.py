@@ -279,9 +279,10 @@ fused_tens_seq_levels.defvjp(_tens_seq_vjp_fwd, _tens_seq_vjp_bwd)
 
 def _tens_seq_bwd_kernel(z_ref, x_ref, g_ref, zb_ref, xb_ref, *, L, d,
                          num_levels, rbf, increments, mxu):
-    """z_ref [F2, d, 128]; x_ref [1, Lp, d]; g_ref [1, _LEVROWS, 128];
-    zb_ref [1, F2·d, 128] (accumulated in place over the sequence axis);
-    xb_ref [1, 1, Lp, d] (X̄ partial for this tensor block)."""
+    """z_ref [F2, d(+1 for RBF, packing −½Σz²), 128]; x_ref [1, Lp, d];
+    g_ref [1, _LEVROWS, 128]; zb_ref [1, F2·d, 128] (accumulated in place
+    over the sequence axis); xb_ref [1, 1, Lp, d] (X̄ partial for this
+    tensor block)."""
     dt = x_ref.dtype
     Lp = x_ref.shape[1]
     nl = num_levels
@@ -295,17 +296,16 @@ def _tens_seq_bwd_kernel(z_ref, x_ref, g_ref, zb_ref, xb_ref, *, L, d,
         xc = jnp.broadcast_to(x_ref[0, :, dd : dd + 1], (Lp, _LANE))
         xcols.append(xc)
         nx = nx + xc * xc
+    nxc = -0.5 * nx if rbf else None
 
     def kblock(f):
-        G = jnp.zeros((Lp, _LANE), dt)
-        nz = jnp.zeros((1, _LANE), dt)
+        if rbf:
+            G = nxc + z_ref[f, d : d + 1, :]
+        else:
+            G = jnp.zeros((Lp, _LANE), dt)
         for dd in range(d):
-            zr = z_ref[f, dd : dd + 1, :]
-            G = G + xcols[dd] * zr
-            nz = nz + zr * zr
-        if not rbf:
-            return G
-        return jnp.exp(-0.5 * (nx + nz - 2.0 * G))
+            G = G + xcols[dd] * z_ref[f, dd : dd + 1, :]
+        return jnp.exp(G) if rbf else G
 
     Ks = [kblock(f) for f in range(F2)]
     if increments:
@@ -447,6 +447,11 @@ def tens_seq_bwd_pallas(Z, X, g, num_levels, rbf=True, increments=False,
     Tp = _round_up(T, _LANE)
     F2 = 2 * F if increments else F
     Zt = jnp.moveaxis(Z.reshape(T, F2, d), 0, -1)
+    dz = d
+    if rbf:
+        cz = -0.5 * jnp.sum(Zt * Zt, 1, keepdims=True)  # [F2, 1, T]
+        Zt = jnp.concatenate([Zt, cz.astype(Zt.dtype)], axis=1)
+        dz = d + 1
     if Tp != T:
         Zt = jnp.pad(Zt, ((0, 0), (0, 0), (0, Tp - T)))
     Xp = jnp.pad(X, ((0, 0), (0, Lp - L), (0, 0)))
@@ -462,7 +467,7 @@ def tens_seq_bwd_pallas(Z, X, g, num_levels, rbf=True, increments=False,
         ),
         grid=(nbi, N),
         in_specs=[
-            pl.BlockSpec((F2, d, _LANE), lambda i, j: (0, 0, i),
+            pl.BlockSpec((F2, dz, _LANE), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Lp, d), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
