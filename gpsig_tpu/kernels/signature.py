@@ -49,6 +49,11 @@ Two Pallas engines exist, both TPU-only; everything else takes the XLA path
   covariance Kuf with inducing tensors): same applicability conditions as
   the fully-fused Gram; dispatched when T·N clears `_FUSED_MIN_PAIRS` or
   ``engine='pallas'``.
+- Both fused paths carry *fully-fused VMEM backwards* on TPU backends
+  (custom_vjp → `fused_gram_levels_bwd_pallas` / `tens_seq_bwd_pallas`),
+  so neither training nor prediction-scale hyperparameter gradients
+  re-materialise the O(N²L²) / O(T·N·F·L) intermediates in HBM; the CPU
+  fallback is a row-blocked XLA recompute.
 - *Fused per-pair DP* (`ops/pallas/sig_gram.py` — XLA builds the increment
   tensor, Pallas runs the per-level recursion): any base kernel, any order;
   dispatched when the pair count clears `_FUSED_MIN_PAIRS` or

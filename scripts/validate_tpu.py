@@ -332,7 +332,8 @@ def job_fused_fwdgrad():
     import jax.numpy as jnp
     from gpsig_tpu.ops.pallas import fused_gram as fg
 
-    N, L, d, nl, R = 256, 50, 2, 4, 16
+    N, L, d, nl, R = 256, 50, 2, 4, 32
+    MXU = "split"  # the production compiled-f32 mode (_mxu_mode)
     rng = np.random.default_rng(0)
     X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
                     jnp.float32)
@@ -340,28 +341,30 @@ def job_fused_fwdgrad():
                     jnp.float32)
     g = jnp.asarray(rng.standard_normal((nl + 1, N, N)), jnp.float32)
 
-    xb, yb = fg.fused_gram_levels_bwd_pallas(X, Y, g, nl, True)
+    xb, yb = fg.fused_gram_levels_bwd_pallas(X, Y, g, nl, True, False, 8,
+                                             MXU)
     xb, yb = np.asarray(xb), np.asarray(yb)
     _, vjp = jax.vjp(lambda x, y: fg._xla_reference(x, y, nl, True), X, Y)
     xw, yw = vjp(g)
     xw, yw = np.asarray(xw), np.asarray(yw)
     ex = np.max(np.abs(xb - xw)) / (np.max(np.abs(xw)) + 1e-12)
     ey = np.max(np.abs(yb - yw)) / (np.max(np.abs(yw)) + 1e-12)
-    print(f"sy-stacked bwd parity rel-err X̄ {ex:.2e}  Ȳ {ey:.2e}")
+    print(f"sy-stacked bwd (split) parity rel-err X̄ {ex:.2e}  Ȳ {ey:.2e}",
+          flush=True)
 
     fwd = jax.jit(lambda x, s: jax.lax.scan(
         lambda c, e: (c, jnp.sum(fg.fused_gram_levels(
-            x * (1 + e), x, nl, True))),
+            x * (1 + e), x, nl, True, False, 8, MXU))),
         0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
     fwdgrad = jax.jit(lambda x, s: jax.lax.scan(
         lambda c, e: (c, jnp.sum(jax.grad(
-            lambda xx: jnp.sum(fg.fused_gram_levels(xx, xx, nl, True)))(
-                x * (1 + e)))),
+            lambda xx: jnp.sum(fg.fused_gram_levels(
+                xx, xx, nl, True, False, 8, MXU)))(x * (1 + e)))),
         0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
     for name, fn in (("fwd-only", fwd), ("fwd+grad", fwdgrad)):
         np.asarray(fn(X, jnp.float32(0)))
         t = _median_time(lambda i, fn=fn: np.asarray(fn(X, jnp.float32(i))))
-        print(f"fused gram {name}: {t/R*1e3:.2f} ms/gram "
+        print(f"fused gram {name} ({MXU}): {t/R*1e3:.2f} ms/gram "
               f"({R*N*N/t/1e6:.1f}M entries/s)", flush=True)
 
 
@@ -394,18 +397,18 @@ def job_tens_seq_grad():
 
     fwd = jax.jit(lambda z, x, s: jax.lax.scan(
         lambda c, e: (c, jnp.sum(ts.fused_tens_seq_levels(
-            z, x * (1 + e), nl, True, True))),
+            z, x * (1 + e), nl, True, True, False, "split"))),
         0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
     fwdgrad = jax.jit(lambda z, x, s: jax.lax.scan(
         lambda c, e: (c, jnp.sum(jax.grad(
             lambda zz: jnp.sum(ts.fused_tens_seq_levels(
-                zz, x * (1 + e), nl, True, True)))(z))),
+                zz, x * (1 + e), nl, True, True, False, "split")))(z))),
         0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
     for name, fn in (("fwd-only", fwd), ("fwd+grad(Z)", fwdgrad)):
         np.asarray(fn(Z, X, jnp.float32(0)))
         t = _median_time(
             lambda i, fn=fn: np.asarray(fn(Z, X, jnp.float32(i))))
-        print(f"tens_seq {name}: {t/R*1e3:.2f} ms/Kuf "
+        print(f"tens_seq {name} (split): {t/R*1e3:.2f} ms/Kuf "
               f"({R*T*N/t/1e6:.2f}M entries/s)", flush=True)
 
 
