@@ -535,19 +535,23 @@ def job_nuts():
     mesh = meshlib.make_mesh()
     theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (C, dim), dtype)
 
-    t0 = time.time()
-    samples, info = run_chains_sharded(
-        jax.random.PRNGKey(0), logp, theta0, mesh,
-        num_warmup=WARM, num_samples=SAMP, max_depth=DEPTH,
+    # draws_per_dispatch: the monolithic 200-transition dispatch holds the
+    # chip long enough to trip the relay's execution deadline (UNAVAILABLE
+    # device error, observed 2026-08-20); the chunked host loop bounds each
+    # dispatch to 25 transitions and is bit-identical (test_nuts.py).
+    from gpsig_tpu.parallel.chains import make_chunked_sampler
+
+    sampler = make_chunked_sampler(
+        logp, mesh, num_warmup=WARM, num_samples=SAMP, max_depth=DEPTH,
+        draws_per_dispatch=25,
     )
+    t0 = time.time()
+    samples, info = sampler(jax.random.PRNGKey(0), theta0)
     jax.block_until_ready(samples)
     t_compile_and_run = time.time() - t0
-    # honest steady-state: rerun with a different key (same compiled fn)
+    # honest steady-state: rerun with a different key (same compiled fns)
     t0 = time.time()
-    samples, info = run_chains_sharded(
-        jax.random.PRNGKey(7), logp, theta0, mesh,
-        num_warmup=WARM, num_samples=SAMP, max_depth=DEPTH,
-    )
+    samples, info = sampler(jax.random.PRNGKey(7), theta0)
     s = np.asarray(samples)
     t_run = time.time() - t0
     ess = effective_sample_size(s)

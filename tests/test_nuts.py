@@ -81,3 +81,29 @@ def test_nuts_sharded_chains_shared_stepsize():
     s = np.asarray(theta).reshape(-1, 2)
     np.testing.assert_allclose(s.mean(0), [0, 0], atol=0.2)
     np.testing.assert_allclose(np.cov(s.T), cov, atol=0.4)
+
+
+def test_chunked_dispatch_matches_monolithic():
+    """draws_per_dispatch must not change the math: the host-chunked path
+    (bounded device dispatches, resumable) threads keys and the absolute
+    warmup index exactly like the monolithic scan, so samples, step size,
+    mass matrix, and diagnostics agree to float-reassociation noise —
+    including a chunk size that splits the warmup mass window and leaves
+    ragged final chunks."""
+    logp, _ = _corr_gauss_logp()
+    mesh = meshlib.make_mesh(data=8, tile=1)
+    C = 16
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(6), (C, 2))
+    kw = dict(num_warmup=90, num_samples=70, max_depth=5)
+    theta_m, info_m = run_chains_sharded(
+        jax.random.PRNGKey(7), logp, theta0, mesh, **kw)
+    theta_c, info_c = run_chains_sharded(
+        jax.random.PRNGKey(7), logp, theta0, mesh,
+        draws_per_dispatch=25, **kw)
+    np.testing.assert_allclose(np.asarray(theta_c), np.asarray(theta_m),
+                               rtol=1e-9, atol=1e-12)
+    for k in ("step_size", "inv_mass", "warmup_accept", "accept_prob",
+              "num_leaves", "logp"):
+        np.testing.assert_allclose(np.asarray(info_c[k]),
+                                   np.asarray(info_m[k]),
+                                   rtol=1e-9, atol=1e-12, err_msg=k)
