@@ -26,6 +26,11 @@ def main():
     p.add_argument("--warmup", type=int, default=200)
     p.add_argument("--samples", type=int, default=200)
     p.add_argument("--n", type=int, default=40)
+    p.add_argument("--draws-per-dispatch", type=int, default=None,
+                   help="bound NUTS transitions per device dispatch (host "
+                        "loop over jitted chunks, bit-identical; required "
+                        "on relayed TPUs where a monolithic run exceeds "
+                        "the execution deadline — 25 is a good value)")
     args = p.parse_args()
     if args.fake_devices:
         args.cpu = True
@@ -75,6 +80,7 @@ def main():
     samples, info = run_chains_sharded(
         jax.random.PRNGKey(args.seed), logp, theta0, mesh,
         num_warmup=args.warmup, num_samples=args.samples, max_depth=6,
+        draws_per_dispatch=args.draws_per_dispatch,
     )
     jax.block_until_ready(samples)
     t_total = time.time() - t0

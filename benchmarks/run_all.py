@@ -119,12 +119,37 @@ def main():
                 "calibrated from the float64 CPU ground truth)")
 
     if args.write_windows:
-        new = {}
+        new = dict(windows)  # incremental: finished datasets land at once
         for name in names:
             if name not in uea_like.available_datasets():
                 continue
+            fingerprint = uea_like.dataset_fingerprint(name)
+            old = windows.get(name, {})
+            # a seed measurement can be reused from the committed file iff
+            # the dataset (fingerprint) and training protocol are unchanged
+            # — the suite is deterministic per seed (verified: rerun
+            # reproduces the committed values bit-for-bit)
+            old_ok = (old.get("fingerprint") == fingerprint
+                      and {k: v for k, v in old.get(
+                          "protocol", {}).items() if k != "seed"}
+                      == {k: v for k, v in PROTOCOL.items()
+                          if k != "seed"})
+            old_meas = old.get("measured", {}) if old_ok else {}
+            old_acc = dict(old_meas.get("acc_per_seed", {}))
+            old_nlpp = dict(old_meas.get("nlpp_per_seed", {}))
+            if old_ok and "acc" in old_meas:  # pre-r3 single-seed format
+                s0 = str(old.get("protocol", {}).get("seed", 0))
+                old_acc.setdefault(s0, old_meas["acc"])
+                old_nlpp.setdefault(s0, old_meas["nlpp"])
             accs, nlpps = [], []
             for seed in args.calib_seeds:
+                if str(seed) in old_acc:
+                    accs.append(old_acc[str(seed)])
+                    nlpps.append(old_nlpp[str(seed)])
+                    print(f"{name:>18} seed={seed} "
+                          f"acc={accs[-1]:.3f} nlpp={nlpps[-1]:.3f} "
+                          f"(reused)", flush=True)
+                    continue
                 proto = dict(PROTOCOL, seed=seed)
                 res = run_dataset(name, args, protocol=proto)
                 accs.append(res["acc"])
@@ -134,7 +159,7 @@ def main():
                       f"t={res['train_time_s']:.0f}s", flush=True)
             spread = max(accs) - min(accs)
             new[name] = dict(
-                fingerprint=uea_like.dataset_fingerprint(name),
+                fingerprint=fingerprint,
                 acc_min=round(max(0.0, min(accs) - max(0.04, spread)), 3),
                 nlpp_max=round(max(nlpps) * 1.15 + 0.05, 3),
                 measured=dict(acc_per_seed=dict(zip(
@@ -145,8 +170,9 @@ def main():
                 protocol=PROTOCOL,
                 calib_seeds=args.calib_seeds,
             )
-        json.dump(new, open(WINDOWS_PATH, "w"), indent=1, sort_keys=True)
-        print(f"wrote {WINDOWS_PATH}")
+            json.dump(new, open(WINDOWS_PATH, "w"), indent=1,
+                      sort_keys=True)
+            print(f"updated {WINDOWS_PATH} [{name}]", flush=True)
         return
 
     results, failures = [], []
