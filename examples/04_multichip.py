@@ -83,10 +83,15 @@ def main():
     # 4) NUTS chains sharded over devices ------------------------------------
     cov = jnp.asarray([[1.0, 0.6], [0.6, 1.5]])
     prec = jnp.linalg.inv(cov)
+    # draws_per_dispatch bounds device-execution time per dispatch (host
+    # loop over jitted chunks, bit-identical to one big scan) — required
+    # on relayed TPUs with execution deadlines; also the natural
+    # checkpoint granularity for long production runs.
     samples, info = run_chains_sharded(
         jax.random.PRNGKey(1), lambda th: -0.5 * th @ prec @ th,
         0.1 * jax.random.normal(jax.random.PRNGKey(2), (8, 2)), mesh,
         num_warmup=150, num_samples=200, max_depth=6,
+        draws_per_dispatch=50,
     )
     s = np.asarray(samples).reshape(-1, 2)
     print("NUTS sample cov:\n", np.round(np.cov(s.T), 2))

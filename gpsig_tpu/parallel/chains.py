@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental.shard_map import shard_map
 from jax.sharding import PartitionSpec as P
@@ -175,49 +176,151 @@ def make_chunked_sampler(
 
     fns = {}
 
-    def sample(key, theta0s):
+    def _pack(phase, pos, chunk, warm_carry, samp_carry, samp_keys, bufs):
+        tree = {"phase": np.int64(phase), "pos": np.int64(pos),
+                "chunk": np.int64(chunk), "samp_keys": samp_keys,
+                "bufs": bufs}
+        if phase == 0:
+            st, da, wf, im, k = warm_carry
+            tree["warm"] = {"state": st._asdict(), "da": da._asdict(),
+                            "wf": wf._asdict(), "inv_mass": im, "key": k}
+        else:
+            st, ks, eps, im = samp_carry
+            tree["samp"] = {"state": st._asdict(), "keys": ks, "eps": eps,
+                            "inv_mass": im}
+        return tree
+
+    def _unpack(tree):
+        from gpsig_tpu.mcmc.sample import DAState, WelfordState
+
+        phase = int(tree["phase"])
+        warm_carry = samp_carry = None
+        if phase == 0:
+            w = tree["warm"]
+            warm_carry = (NutsState(**w["state"]), DAState(**w["da"]),
+                          WelfordState(**w["wf"]), w["inv_mass"],
+                          w["key"])
+        else:
+            s = tree["samp"]
+            samp_carry = (NutsState(**s["state"]), s["keys"], s["eps"],
+                          s["inv_mass"])
+        bufs = {k: np.asarray(v) for k, v in tree["bufs"].items()}
+        return (phase, int(tree["pos"]), int(tree["chunk"]), warm_carry,
+                samp_carry, tree["samp_keys"], bufs)
+
+    def _load_latest(cdir):
+        import os
+
+        from gpsig_tpu.utils.checkpoint import restore_checkpoint
+
+        if not os.path.isdir(cdir):
+            return None
+        steps = sorted(
+            (d for d in os.listdir(cdir) if d.startswith("chunk_")),
+            reverse=True)
+        for d in steps:
+            try:
+                return _unpack(restore_checkpoint(
+                    os.path.join(cdir, d), None))
+            except Exception:  # incomplete save — fall back to previous
+                continue
+        return None
+
+    def _save(cdir, chunk, tree):
+        import os
+        import shutil
+
+        from gpsig_tpu.utils.checkpoint import save_checkpoint
+
+        path = os.path.join(cdir, f"chunk_{chunk:06d}")
+        save_checkpoint(path, tree)
+        for d in os.listdir(cdir):  # retain only the save that just landed
+            if d.startswith("chunk_") and d != f"chunk_{chunk:06d}":
+                shutil.rmtree(os.path.join(cdir, d), ignore_errors=True)
+
+    def sample(key, theta0s, checkpoint_dir=None, max_chunks=None):
+        """Run (or resume) the chunked sampler.
+
+        checkpoint_dir: if set, the full sampler state (NUTS state,
+        adaptation, keys, accumulated draws) is persisted after every
+        chunk and a later call with the same directory resumes from the
+        last completed chunk — ``key``/``theta0s`` are ignored on resume
+        beyond shape checking. max_chunks: process at most this many
+        chunks in this call and return ``None`` if unfinished (state is
+        on disk) — the time-budgeted slice API for preemptible jobs.
+        Checkpointing never perturbs the draw stream (pinned by
+        ``test_nuts.py::test_checkpoint_resume_matches_uninterrupted``).
+        """
         C = theta0s.shape[0]
         n_dev = mesh.shape[DATA_AXIS]
         if C % n_dev:
             raise ValueError(
                 f"chains {C} not divisible by devices {n_dev}")
-        keys = jax.random.split(key, C)
-        carry, samp_keys = init(keys, theta0s)
-        warm_accs = []
-        pos = 0
-        while pos < num_warmup:
+        resumed = _load_latest(checkpoint_dir) if checkpoint_dir else None
+        if resumed is None:
+            keys = jax.random.split(key, C)
+            carry, samp_keys = init(keys, theta0s)
+            phase, pos, chunk, samp_carry, bufs = 0, 0, 0, None, {}
+        else:
+            phase, pos, chunk, carry, samp_carry, samp_keys, bufs = resumed
+        done_here = 0
+
+        def checkpoint():
+            if checkpoint_dir:
+                _save(checkpoint_dir, chunk,
+                      _pack(phase, pos, chunk, carry, samp_carry,
+                            samp_keys, bufs))
+
+        while phase == 0:
+            if pos >= num_warmup:
+                state, da, _, inv_mass, _ = carry
+                samp_carry = (state, samp_keys,
+                              jnp.exp(da.log_eps_bar), inv_mass)
+                phase, pos = 1, 0
+                break
+            if max_chunks is not None and done_here >= max_chunks:
+                return None
             blk = min(blk_max, num_warmup - pos)
             fn = fns.setdefault(("w", blk), make_warm_fn(blk))
             carry, acc = fn(carry, jnp.int32(pos))
-            warm_accs.append(acc)
+            acc = np.asarray(acc)
+            bufs.setdefault(
+                "warmup_accept", np.zeros((C, num_warmup), acc.dtype)
+            )[:, pos:pos + blk] = acc
             pos += blk
+            chunk += 1
+            done_here += 1
+            checkpoint()
 
-        state, da, _, inv_mass, _ = carry
-        eps = jnp.exp(da.log_eps_bar)
-        carry = (state, samp_keys, eps, inv_mass)
-        chunks = []
-        pos = 0
         while pos < num_samples:
+            if max_chunks is not None and done_here >= max_chunks:
+                checkpoint()  # persists the warm→samp transition too
+                return None
             blk = min(blk_max, num_samples - pos)
             fn = fns.setdefault(("s", blk), make_samp_fn(blk))
-            carry, out = fn(carry)
-            chunks.append(out)
+            samp_carry, out = fn(samp_carry)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for k, v in out.items():
+                bufs.setdefault(k, np.zeros(
+                    (C, num_samples) + v.shape[2:], v.dtype
+                ))[:, pos:pos + blk] = v
             pos += blk
+            chunk += 1
+            done_here += 1
+            checkpoint()
 
-        draws = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=1), *chunks)
+        eps, inv_mass = samp_carry[2], samp_carry[3]
+        dt = np.asarray(theta0s).dtype
         info = {
             "step_size": eps,
             "inv_mass": inv_mass,
-            "warmup_accept": (
-                jnp.concatenate(warm_accs, axis=1) if warm_accs
-                else jnp.zeros((C, 0), theta0s.dtype)
-            ),
-            "accept_prob": draws["accept_prob"],
-            "diverging": draws["diverging"],
-            "num_leaves": draws["num_leaves"],
-            "logp": draws["logp"],
+            "warmup_accept": bufs.get(
+                "warmup_accept", np.zeros((C, 0), dt)),
+            "accept_prob": bufs["accept_prob"],
+            "diverging": bufs["diverging"],
+            "num_leaves": bufs["num_leaves"],
+            "logp": bufs["logp"],
         }
-        return draws["theta"], info
+        return bufs["theta"], info
 
     return sample

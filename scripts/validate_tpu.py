@@ -498,6 +498,41 @@ def job_stable_chol():
         print(f"{name}: {t/R*1e3:.3f} ms/call (M={M}, f32)", flush=True)
 
 
+def job_low_rank():
+    """SURVEY.md §5.7 long-sequence scaling, on-chip: the low-rank feature
+    path (Nyström base features + sketched Khatri-Rao products,
+    kernels/low_rank.py) is O(L) per level where the dense DP is O(L²).
+    Measures Gram wall vs sequence length and reports the empirical
+    scaling exponent; correctness (full-rank ≡ dense) is pinned by the
+    CPU tests — here we check finiteness/symmetry at f32 on the device."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.kernels.low_rank import LowRankSignatureRBF
+
+    N, d, nl, c = 256, 3, 4, 64
+    rng = np.random.default_rng(0)
+    lengths = (100, 400, 1600)
+    walls = []
+    for L in lengths:
+        X = jnp.asarray(
+            (0.1 * rng.standard_normal((N, L, d))).cumsum(1), jnp.float32)
+        kern = LowRankSignatureRBF(
+            jax.random.PRNGKey(0), X, d, nl, num_components=c,
+            dtype=jnp.float32)
+        K = jax.jit(kern.K)
+        k0 = np.asarray(K(X))
+        assert np.all(np.isfinite(k0))
+        sym = np.max(np.abs(k0 - k0.T)) / (np.max(np.abs(k0)) + 1e-12)
+        t = _median_time(lambda i: np.asarray(K(X * (1 + 1e-4 * i))))
+        walls.append(t)
+        print(f"low_rank L={L:>4}: {t*1e3:6.1f} ms/Gram "
+              f"({N*N/t/1e6:.1f}M entries/s), sym rel-err {sym:.1e}",
+              flush=True)
+    slope = np.polyfit(np.log(lengths), np.log(walls), 1)[0]
+    print(f"empirical wall ~ L^{slope:.2f} (dense DP would be ~L^2)",
+          flush=True)
+
+
 def job_nuts():
     """BASELINE config 5 on-chip (VERDICT r2 #2): 16 vmapped NUTS chains
     over signature-GPR hyperparameters on the real device — wall time for
@@ -584,5 +619,6 @@ if __name__ == "__main__":
      "tens_seq_grad": job_tens_seq_grad,
      "sharded_step": job_sharded_step,
      "stable_chol": job_stable_chol,
+     "low_rank": job_low_rank,
      "nuts": job_nuts}[job]()
     print(f"total {time.time()-t0:.1f} s")
