@@ -154,6 +154,21 @@ def main():
              "efficiency": round(r["efficiency"], 3)} for r in rows
         ],
         "target": ">=0.8 weak-scaling efficiency (BASELINE.md)",
+        # virtual CPU devices oversubscribing physical cores measure the
+        # sharding plumbing, not real efficiency — the env block makes a
+        # committed artifact self-describing about that
+        "environment": {
+            "backend": jax.default_backend(),
+            "devices_are_virtual_cpu": bool(args.cpu or multiproc),
+            "physical_cpus": os.cpu_count(),
+            "shapes": {
+                "batch_per_device": args.batch_per_device,
+                "num_tensors": args.num_tensors,
+                "num_levels": args.num_levels,
+                "seq_len": args.seq_len,
+                "steps": args.steps,
+            },
+        },
     }
     print(json.dumps({k: summary[k] for k in ("summary", "target")}),
           flush=True)
