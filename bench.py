@@ -141,12 +141,65 @@ def measure_device(engine, timeout):
     return result
 
 
-def main():
+CPU_BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "benchmarks", "cpu_baseline.json",
+)
+
+
+def measure_cpu_baseline(k=7):
+    """Best-of-k NumPy f64 CPU Gram throughput + max−min spread (%).
+
+    Individual runs are bimodal on this host (~0.72 s vs ~1.85 s — page
+    faults on the ~70 MB intermediates), so the *minimum* (timeit's
+    convention: the fastest run is the least-interfered measurement of
+    the machine's capability) is used, not the median — a median can
+    land on either mode and swing the denominator 2.5×."""
     rng = np.random.default_rng(0)
     Xc = (0.3 * rng.standard_normal((N_CPU, L, D))).cumsum(1)
-    t0 = time.time()
-    numpy_reference_gram(Xc, NUM_LEVELS)
-    cpu_entries_per_s = (N_CPU * N_CPU) / (time.time() - t0)
+    numpy_reference_gram(Xc, NUM_LEVELS)  # warm caches/allocator
+    ts = []
+    for i in range(k):
+        Xi = Xc * (1.0 + 1e-4 * i)  # varied inputs, same flop count
+        t0 = time.time()
+        numpy_reference_gram(Xi, NUM_LEVELS)
+        ts.append(time.time() - t0)
+    ts.sort()
+    return (N_CPU * N_CPU) / ts[0], 100.0 * (ts[-1] - ts[0]) / ts[0]
+
+
+def cpu_denominator():
+    """The vs_baseline denominator. The CPU-side measurement swings ±20%
+    run-to-run (VERDICT r3 weak #5), which made round-over-round
+    vs_baseline comparisons noise while the device numerator moved a few
+    percent. The denominator is therefore *pinned* to the committed
+    best-of-7 in benchmarks/cpu_baseline.json; a fresh measurement is
+    still taken and reported (with its spread) so drift in the host CPU
+    is visible without polluting the ratio. Delete the file (or run
+    ``python bench.py --recalibrate-cpu``) to re-pin."""
+    fresh, fresh_spread = measure_cpu_baseline()
+    if os.path.exists(CPU_BASELINE_PATH):
+        pinned = json.load(open(CPU_BASELINE_PATH))
+        return float(pinned["entries_per_s"]), fresh, fresh_spread, True
+    return fresh, fresh, fresh_spread, False
+
+
+def main():
+    import sys
+
+    if "--recalibrate-cpu" in sys.argv:
+        val, spread = measure_cpu_baseline()
+        with open(CPU_BASELINE_PATH, "w") as f:
+            json.dump({"entries_per_s": round(val, 1),
+                       "spread_pct": round(spread, 1),
+                       "protocol": f"best of 7, N={N_CPU}, L={L}, "
+                                   f"d={D}, levels={NUM_LEVELS}"}, f,
+                      indent=1)
+        print(f"pinned CPU baseline {val:.1f} entries/s "
+              f"(spread {spread:.1f}%) -> {CPU_BASELINE_PATH}")
+        return
+
+    cpu_entries_per_s, cpu_fresh, cpu_spread, pinned = cpu_denominator()
 
     tag, value, spread_pct = measure_device("pallas", PALLAS_TIMEOUT_S)
     if tag != "pallas":
@@ -165,8 +218,10 @@ def main():
                 "unit": f"entries/s (N={N_DEV}, L={L}, d={D}, "
                         f"levels={NUM_LEVELS}, RBF, normalized, f32, "
                         f"engine={engine_used}, median of 7 dispatches, "
-                        f"spread {spread_pct:.1f}%; "
-                        f"baseline: NumPy f64 CPU)",
+                        f"spread {spread_pct:.1f}%; baseline: NumPy f64 "
+                        f"CPU {'pinned' if pinned else 'measured'} "
+                        f"{cpu_entries_per_s:.0f} e/s, this-run "
+                        f"{cpu_fresh:.0f} e/s spread {cpu_spread:.0f}%)",
                 "vs_baseline": round(float(value) / cpu_entries_per_s, 2),
                 "spread_pct": round(float(spread_pct), 1),
             }

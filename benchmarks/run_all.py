@@ -170,8 +170,12 @@ def main():
                 protocol=PROTOCOL,
                 calib_seeds=args.calib_seeds,
             )
-            json.dump(new, open(WINDOWS_PATH, "w"), indent=1,
-                      sort_keys=True)
+            # atomic replace: a crash mid-dump must not truncate the
+            # committed calibration file the seed-reuse logic reads back
+            tmp = WINDOWS_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(new, f, indent=1, sort_keys=True)
+            os.replace(tmp, WINDOWS_PATH)
             print(f"updated {WINDOWS_PATH} [{name}]", flush=True)
         return
 

@@ -22,6 +22,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from flax import struct
+from jax import scipy as jsp
 
 from gpsig_tpu import gauss
 from gpsig_tpu.config import precise_linalg
@@ -138,6 +139,116 @@ class SVGP:
         total = batch if num_data is None else num_data
         scale = jnp.asarray(total, fmean.dtype) / batch
         return scale * jnp.sum(var_exp) - kl
+
+    def predict_y(self, X, **kw):
+        m, v = self.predict_f(X)
+        return self.likelihood.predict_mean_and_var(m, v, **kw)
+
+    def predict_log_density(self, X, Y, **kw):
+        m, v = self.predict_f(X)
+        return self.likelihood.predict_log_density(Y, m, v, **kw)
+
+    @precise_linalg
+    def posterior(self):
+        """Precompute the posterior projections for repeated prediction.
+
+        Reference parity: the reference's model wrapper caches the Kuu
+        factors at prediction time (``gpsig/models.py`` — SURVEY.md §2.1
+        Models row, §3.2) so batch-wise test-set prediction does not pay
+        the O(M³) Cholesky + O(M²·L²) inducing Gram per batch.
+        ``predict_f`` above recomputes both per call; the returned
+        :class:`Posterior` folds everything batch-independent into
+
+            mean  = Kufᵀ · a,            a  = L⁻ᵀ q_mu     (white)
+                                          a  = Kuu⁻¹ q_mu   (unwhitened)
+            var_c = Knn − kufᵀ · Q_c · kuf,
+            Q_c   = L⁻ᵀ (I − S_c S_cᵀ) L⁻¹                  (white)
+            Q_c   = Kuu⁻¹ − Kuu⁻¹ S_c S_cᵀ Kuu⁻¹            (unwhitened)
+
+        so a prediction batch costs one Kuf build + C MXU matmuls — no
+        Cholesky, no triangular solves (an [M,M]·[M,B] matmul keeps the
+        MXU busy where a blocked triangular solve serialises).
+
+        The VOSF / Kuu = I + diagonal-q fast path stays O(M) per point:
+        Q_c is diagonal (1 − s_c²) and never materialised.
+        """
+        q_sqrt = self._tril_q_sqrt()
+        C = self.num_latent
+        if self._kuu_identity:
+            if self.q_diag:
+                return Posterior(
+                    kernel=self.kernel, likelihood=self.likelihood,
+                    inducing=self.inducing, proj_mean=self.q_mu,
+                    quad=1.0 - q_sqrt**2, quad_is_diag=True,
+                )
+            M = self.q_mu.shape[0]
+            eye = jnp.eye(M, dtype=self.q_mu.dtype)
+            quad = eye[None] - jnp.einsum("cmk,cnk->cmn", q_sqrt, q_sqrt)
+            return Posterior(
+                kernel=self.kernel, likelihood=self.likelihood,
+                inducing=self.inducing, proj_mean=self.q_mu, quad=quad,
+                quad_is_diag=False,
+            )
+        Kuu = self.inducing.Kuu(self.kernel, None)
+        L = gauss.stable_cholesky(Kuu)
+        M = L.shape[0]
+        eye = jnp.eye(M, dtype=L.dtype)
+        Linv = jsp.linalg.solve_triangular(L, eye, lower=True)
+        if self.q_diag:
+            SSt = jnp.einsum("mc,mn->cmn", q_sqrt**2, eye)
+        else:
+            SSt = jnp.einsum("cmk,cnk->cmn", q_sqrt, q_sqrt)
+        if self.whiten:
+            proj_mean = Linv.T @ self.q_mu
+            inner = eye[None] - SSt
+            quad = jnp.einsum("nm,cnk,kp->cmp", Linv, inner, Linv)
+        else:
+            Kinv = Linv.T @ Linv
+            proj_mean = Kinv @ self.q_mu
+            quad = Kinv[None] - jnp.einsum(
+                "mn,cnk,kp->cmp", Kinv, SSt, Kinv
+            )
+        return Posterior(
+            kernel=self.kernel, likelihood=self.likelihood,
+            inducing=self.inducing, proj_mean=proj_mean, quad=quad,
+            quad_is_diag=False,
+        )
+
+
+@struct.dataclass
+class Posterior:
+    """Batch-independent SVGP posterior projections (see
+    :meth:`SVGP.posterior`). A pytree — jit a function taking it as an
+    argument and batch predictions reuse the cached projections."""
+
+    kernel: Any
+    likelihood: Any
+    inducing: Any
+    proj_mean: jnp.ndarray  # [M, C]
+    quad: jnp.ndarray  # [C, M, M], or [M, C] diagonal (VOSF fast path)
+    quad_is_diag: bool = struct.field(pytree_node=False, default=False)
+
+    @precise_linalg
+    def predict_f(self, X, full_cov=False):
+        Kuf = self.inducing.Kuf(self.kernel, X)  # [M, N]
+        mean = Kuf.T @ self.proj_mean  # [N, C]
+        if full_cov:
+            Knn = self.kernel.K(X)
+            if self.quad_is_diag:
+                red = jnp.einsum(
+                    "mn,mc,mk->cnk", Kuf, self.quad, Kuf
+                )
+            else:
+                red = jnp.einsum("mn,cmp,pk->cnk", Kuf, self.quad, Kuf)
+            return mean, Knn[None] - red
+        Knn = self.kernel.Kdiag(X)
+        if self.quad_is_diag:
+            red = jnp.einsum("mn,mc->cn", Kuf**2, self.quad)
+        else:
+            QK = jnp.einsum("cmp,pn->cmn", self.quad, Kuf)
+            red = jnp.sum(Kuf[None] * QK, axis=1)  # [C, N]
+        var = Knn[None, :] - red
+        return mean, var.T
 
     def predict_y(self, X, **kw):
         m, v = self.predict_f(X)

@@ -41,16 +41,27 @@ from gpsig_tpu.mcmc.sample import (
 from gpsig_tpu.parallel.mesh import DATA_AXIS
 
 
+#: Default transitions-per-dispatch on TPU backends. One XLA execution
+#: holding the chip for a full warmup+sampling run can exceed executor /
+#: relay deadlines (observed through the axon relay as ``UNAVAILABLE: TPU
+#: device error``); 25 transitions/dispatch is the largest chunk that
+#: survived the relay's execution deadline in the on-chip config-5 runs.
+TPU_DEFAULT_DRAWS_PER_DISPATCH = 25
+
+
 def run_chains_sharded(
     key, logp_fn, theta0s, mesh, num_warmup=500, num_samples=500,
     max_depth=8, target_accept=0.8, init_step_size=0.1,
-    shared_step_size=True, draws_per_dispatch=None,
+    shared_step_size=True, draws_per_dispatch="auto",
 ):
     """theta0s: [C, D] with C divisible by the mesh data-axis size.
 
-    draws_per_dispatch: if set, no single device dispatch runs more than
-    this many NUTS transitions (host loop over jitted chunks; see module
-    docstring). ``None`` keeps the monolithic single-dispatch path.
+    draws_per_dispatch: no single device dispatch runs more than this many
+    NUTS transitions (host loop over jitted chunks; see module docstring).
+    The default ``"auto"`` picks ``TPU_DEFAULT_DRAWS_PER_DISPATCH`` on TPU
+    backends — where a monolithic dispatch is known to trip execution
+    deadlines — and the monolithic single-dispatch path elsewhere.
+    ``None`` forces monolithic everywhere.
 
     Returns (samples [C, num_samples, D], info pytree)."""
     C = theta0s.shape[0]
@@ -58,6 +69,12 @@ def run_chains_sharded(
     if C % n_dev:
         raise ValueError(f"chains {C} not divisible by devices {n_dev}")
 
+    if draws_per_dispatch == "auto":
+        draws_per_dispatch = (
+            TPU_DEFAULT_DRAWS_PER_DISPATCH
+            if jax.default_backend() not in ("cpu",)
+            else None
+        )
     if draws_per_dispatch is not None:
         sampler = make_chunked_sampler(
             logp_fn, mesh, num_warmup=num_warmup,
@@ -176,10 +193,27 @@ def make_chunked_sampler(
 
     fns = {}
 
-    def _pack(phase, pos, chunk, warm_carry, samp_carry, samp_keys, bufs):
+    def _config(num_chains):
+        """Sampler settings a checkpoint must match to be resumable
+        (advisor r3: resuming under different settings silently mixes
+        incompatible adaptation state, e.g. a shifted mass-matrix
+        window)."""
+        return {
+            "num_warmup": int(num_warmup),
+            "num_samples": int(num_samples),
+            "num_chains": int(num_chains),
+            "max_depth": int(max_depth),
+            "target_accept_milli": int(round(1000 * target_accept)),
+            "draws_per_dispatch": blk_max,
+        }
+
+    def _pack(phase, pos, chunk, warm_carry, samp_carry, samp_keys, bufs,
+              num_chains):
         tree = {"phase": np.int64(phase), "pos": np.int64(pos),
                 "chunk": np.int64(chunk), "samp_keys": samp_keys,
-                "bufs": bufs}
+                "bufs": bufs,
+                "config": {k: np.int64(v)
+                           for k, v in _config(num_chains).items()}}
         if phase == 0:
             st, da, wf, im, k = warm_carry
             tree["warm"] = {"state": st._asdict(), "da": da._asdict(),
@@ -208,7 +242,7 @@ def make_chunked_sampler(
         return (phase, int(tree["pos"]), int(tree["chunk"]), warm_carry,
                 samp_carry, tree["samp_keys"], bufs)
 
-    def _load_latest(cdir):
+    def _load_latest(cdir, expect_config):
         import os
 
         from gpsig_tpu.utils.checkpoint import restore_checkpoint
@@ -218,12 +252,33 @@ def make_chunked_sampler(
         steps = sorted(
             (d for d in os.listdir(cdir) if d.startswith("chunk_")),
             reverse=True)
+        errors = []
         for d in steps:
             try:
-                return _unpack(restore_checkpoint(
-                    os.path.join(cdir, d), None))
-            except Exception:  # incomplete save — fall back to previous
+                tree = restore_checkpoint(os.path.join(cdir, d), None)
+            except Exception as e:  # incomplete save — try the previous
+                errors.append((d, e))
                 continue
+            saved = {k: int(v) for k, v in tree.get("config", {}).items()}
+            if saved and saved != expect_config:
+                raise ValueError(
+                    f"checkpoint {cdir}/{d} was written under a different "
+                    f"sampler config {saved} (this sampler: "
+                    f"{expect_config}); resuming would silently mix "
+                    "incompatible adaptation state. Point checkpoint_dir "
+                    "elsewhere or rebuild the sampler with the original "
+                    "settings."
+                )
+            return _unpack(tree)
+        if errors:
+            # Checkpoints exist but none restored: starting fresh would
+            # silently discard (and then delete) a long run's state.
+            raise RuntimeError(
+                f"{len(errors)} checkpoint(s) in {cdir} exist but none "
+                f"could be restored (last error on {errors[0][0]}: "
+                f"{errors[0][1]!r}). Refusing to silently restart from "
+                "scratch — move/delete the directory to start fresh."
+            )
         return None
 
     def _save(cdir, chunk, tree):
@@ -256,7 +311,16 @@ def make_chunked_sampler(
         if C % n_dev:
             raise ValueError(
                 f"chains {C} not divisible by devices {n_dev}")
-        resumed = _load_latest(checkpoint_dir) if checkpoint_dir else None
+        if max_chunks is not None and checkpoint_dir is None:
+            raise ValueError(
+                "max_chunks without checkpoint_dir would return None with "
+                "all progress discarded (state lives only in local "
+                "variables) — pass checkpoint_dir so the slice persists."
+            )
+        resumed = (
+            _load_latest(checkpoint_dir, _config(C))
+            if checkpoint_dir else None
+        )
         if resumed is None:
             keys = jax.random.split(key, C)
             carry, samp_keys = init(keys, theta0s)
@@ -269,7 +333,7 @@ def make_chunked_sampler(
             if checkpoint_dir:
                 _save(checkpoint_dir, chunk,
                       _pack(phase, pos, chunk, carry, samp_carry,
-                            samp_keys, bufs))
+                            samp_keys, bufs, C))
 
         while phase == 0:
             if pos >= num_warmup:
@@ -311,16 +375,23 @@ def make_chunked_sampler(
 
         eps, inv_mass = samp_carry[2], samp_carry[3]
         dt = np.asarray(theta0s).dtype
+        D = theta0s.shape[1]
+        # num_samples=0 never enters the sampling loop: fall back to
+        # correctly-shaped empty buffers so the chunked path matches the
+        # monolithic run_chains_sharded's empty draw arrays (advisor r3).
         info = {
             "step_size": eps,
             "inv_mass": inv_mass,
             "warmup_accept": bufs.get(
                 "warmup_accept", np.zeros((C, 0), dt)),
-            "accept_prob": bufs["accept_prob"],
-            "diverging": bufs["diverging"],
-            "num_leaves": bufs["num_leaves"],
-            "logp": bufs["logp"],
+            "accept_prob": bufs.get("accept_prob",
+                                    np.zeros((C, num_samples), dt)),
+            "diverging": bufs.get("diverging",
+                                  np.zeros((C, num_samples), bool)),
+            "num_leaves": bufs.get("num_leaves",
+                                   np.zeros((C, num_samples), np.int32)),
+            "logp": bufs.get("logp", np.zeros((C, num_samples), dt)),
         }
-        return bufs["theta"], info
+        return bufs.get("theta", np.zeros((C, num_samples, D), dt)), info
 
     return sample

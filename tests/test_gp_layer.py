@@ -344,3 +344,80 @@ def test_natgrad_diag_backoff_keeps_precision_positive():
                                        diag=True)
     np.testing.assert_allclose(np.asarray(qs3), 1.0, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(mu3), 0.0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Cached posterior (SVGP.posterior) — reference's prediction-time Kuu-factor
+# caching (gpsig/models.py wrapper, SURVEY.md §2.1 Models row / §3.2).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("whiten", [True, False])
+@pytest.mark.parametrize("q_diag", [False, True])
+def test_posterior_matches_predict_f(whiten, q_diag):
+    rng = np.random.default_rng(11)
+    X, _, kern = _conjugate_setup(rng, N=9, C=2)
+    feat = InducingSequences.create(jnp.asarray(X[:5]))
+    model = SVGP.create(kern, liks.Gaussian.create(0.1), feat,
+                        num_latent=2, whiten=whiten, q_diag=q_diag)
+    M = feat.num_inducing
+    q_mu = jnp.asarray(rng.standard_normal((M, 2)))
+    if q_diag:
+        q_sqrt = jnp.asarray(0.3 + rng.random((M, 2)))
+    else:
+        A = rng.standard_normal((2, M, M)) * 0.2
+        q_sqrt = jnp.asarray(
+            np.tril(A) + 0.8 * np.eye(M)[None]
+        )
+    model = model.replace(q_mu=q_mu, q_sqrt=q_sqrt)
+
+    Xs = jnp.asarray(_paths(rng, 4, 6, 2))
+    post = model.posterior()
+    m1, v1 = model.predict_f(Xs)
+    m2, v2 = post.predict_f(Xs)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-9)
+
+    mf1, vf1 = model.predict_f(Xs, full_cov=True)
+    mf2, vf2 = post.predict_f(Xs, full_cov=True)
+    np.testing.assert_allclose(np.asarray(mf2), np.asarray(mf1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(vf2), np.asarray(vf1), atol=1e-9)
+
+    # predict_y parity through the likelihood
+    ym1, yv1 = model.predict_y(Xs)
+    ym2, yv2 = post.predict_y(Xs)
+    np.testing.assert_allclose(np.asarray(ym2), np.asarray(ym1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(yv2), np.asarray(yv1), atol=1e-9)
+
+
+@pytest.mark.parametrize("q_diag", [True, False])
+def test_posterior_vosf_identity_fast_path(q_diag):
+    """Kuu = I posterior: diagonal-q keeps the O(M) quad (never builds an
+    [M, M] matrix); full-q uses I − SSᵀ."""
+    from gpsig_tpu.kernels.vosf import (
+        ExplicitSignatureKernel,
+        OrthogonalSignatureFeatures,
+    )
+
+    rng = np.random.default_rng(12)
+    kern = ExplicitSignatureKernel.create(2, 3, lengthscales=1.0)
+    feat = OrthogonalSignatureFeatures.for_kernel(kern)
+    M = feat.num_inducing
+    model = SVGP.create(kern, liks.Gaussian.create(0.05), feat,
+                        num_latent=1, q_diag=q_diag)
+    q_mu = jnp.asarray(rng.standard_normal((M, 1)))
+    if q_diag:
+        q_sqrt = jnp.asarray(0.2 + rng.random((M, 1)))
+    else:
+        A = 0.1 * rng.standard_normal((1, M, M))
+        q_sqrt = jnp.asarray(np.tril(A) + 0.9 * np.eye(M)[None])
+    model = model.replace(q_mu=q_mu, q_sqrt=q_sqrt)
+
+    Xs = jnp.asarray(_paths(rng, 5, 6, 2))
+    post = model.posterior()
+    if q_diag:
+        assert post.quad_is_diag and post.quad.shape == (M, 1)
+    m1, v1 = model.predict_f(Xs)
+    m2, v2 = post.predict_f(Xs)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-9)

@@ -147,3 +147,36 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_allclose(np.asarray(i3[k]),
                                    np.asarray(ref_info[k]),
                                    rtol=1e-12, err_msg=k)
+
+
+def test_chunked_guards_and_empty_sampling(tmp_path):
+    """Advisor r3 fixes: (a) max_chunks without checkpoint_dir raises
+    instead of silently discarding progress; (b) num_samples=0 returns
+    correctly-shaped empty buffers like the monolithic path; (c) resuming
+    a checkpoint written under different sampler settings raises."""
+    from gpsig_tpu.parallel.chains import make_chunked_sampler
+
+    logp, _ = _corr_gauss_logp()
+    mesh = meshlib.make_mesh(data=8, tile=1)
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(10), (8, 2))
+    key = jax.random.PRNGKey(11)
+
+    s = make_chunked_sampler(logp, mesh, num_warmup=10, num_samples=5,
+                             max_depth=4, draws_per_dispatch=4)
+    with pytest.raises(ValueError, match="max_chunks"):
+        s(key, theta0, max_chunks=1)
+
+    s0 = make_chunked_sampler(logp, mesh, num_warmup=8, num_samples=0,
+                              max_depth=4, draws_per_dispatch=4)
+    theta, info = s0(key, theta0)
+    assert theta.shape == (8, 0, 2)
+    assert info["accept_prob"].shape == (8, 0)
+    assert info["warmup_accept"].shape == (8, 8)
+
+    cdir = str(tmp_path / "cfg")
+    out = s(key, theta0, checkpoint_dir=cdir, max_chunks=1)
+    assert out is None  # unfinished slice persisted
+    other = make_chunked_sampler(logp, mesh, num_warmup=20, num_samples=5,
+                                 max_depth=4, draws_per_dispatch=4)
+    with pytest.raises(ValueError, match="different sampler config"):
+        other(key, theta0, checkpoint_dir=cdir)
