@@ -36,15 +36,21 @@ Options
 
 Engine coverage (which configurations hit the fast Pallas paths)
 ----------------------------------------------------------------
-Two Pallas engines exist, both TPU-only; everything else takes the XLA path
+Three Pallas engines exist, all TPU-only; everything else takes the XLA path
 (always correct, just slower / more HBM-hungry):
 
-- *Fully-fused Gram* (`ops/pallas/fused_gram.py` — base kernel + differencing
-  + DP in VMEM, never materialises the [N², L, L] increment tensor):
-  requires ``order == 1``, ``difference == True``, ``num_levels <= 7``,
-  and an RBF or Linear base (lags are fine — lag augmentation happens
-  upstream of the kernel). Poly/Cosine bases, ``difference=False``, and
-  higher orders fall back silently.
+- *Fully-fused Gram, tuned order-1 path* (`ops/pallas/fused_gram.py` — base
+  kernel + differencing + DP in VMEM, never materialises the [N², L, L]
+  increment tensor): requires ``order == 1``, ``difference == True``,
+  ``num_levels <= 7``, and an RBF or Linear base (lags are fine — lag
+  augmentation happens upstream of the kernel).
+- *Fully-fused Gram, general path* (`ops/pallas/fused_gram_ho.py` — same
+  no-HBM guarantee for every other fused-able configuration): any
+  ``order``, ``difference`` True or False, RBF/Linear/Poly/Cosine bases,
+  ``num_levels <= 7``. Carries the run-length (higher-order) DP states
+  through the column stream; the Poly offset is folded in as a constant
+  channel so its gradient flows through the fused backward. The tuned
+  order-1 kernel takes precedence where both apply.
 - *Fused tensor-vs-sequence* (`ops/pallas/tens_seq.py` — the SVGP training
   covariance Kuf with inducing tensors): same applicability conditions as
   the fully-fused Gram; dispatched when T·N clears `_FUSED_MIN_PAIRS` or
@@ -201,7 +207,8 @@ class SignatureKernel:
         return jax.default_backend() == "cpu"
 
     def _fused_base_kind(self):
-        """rbf flag when the fully-fused Gram kernel applies, else None."""
+        """rbf flag when the *tuned order-1* fused Gram kernel applies
+        (order==1, difference, RBF/Linear — the fast path), else None."""
         if not (self._use_pallas() and self.order == 1 and self.difference
                 and self.num_levels <= 7):
             return None
@@ -210,6 +217,37 @@ class SignatureKernel:
         if isinstance(self.base, sk.LinearBase):
             return False
         return None
+
+    def _fused_ho_kind(self):
+        """Base-kind string when the *general* fused Gram kernel
+        (ops/pallas/fused_gram_ho.py — any order, difference=False,
+        Poly/Cosine) applies, else None. The tuned order-1 kernel takes
+        precedence where it qualifies (see _K_levels)."""
+        if not (self._use_pallas() and self.num_levels <= 7):
+            return None
+        if isinstance(self.base, sk.RBFBase):
+            return "rbf"
+        if isinstance(self.base, sk.LinearBase):
+            return "linear"
+        if isinstance(self.base, sk.PolyBase):
+            return f"poly{self.base.degree}"
+        if isinstance(self.base, sk.CosineBase):
+            return "cosine"
+        return None
+
+    def _ho_augment(self, X):
+        """Fold the Poly offset in as a constant channel (x_extra = 1,
+        y_extra = offset on the other side) so the fused kernel's FMA
+        column build produces ⟨x, y⟩ + c and offset gradients flow
+        through the augmented cotangents."""
+        ones = jnp.ones(X.shape[:-1] + (1,), X.dtype)
+        return jnp.concatenate([X, ones], axis=-1)
+
+    def _ho_augment_other(self, Y):
+        c = jnp.broadcast_to(
+            self.base.offset.astype(Y.dtype), Y.shape[:-1] + (1,)
+        )
+        return jnp.concatenate([Y, c], axis=-1)
 
     def _recursion(self, M):
         """Dispatch the per-level DP to the fused Pallas engine or XLA."""
@@ -253,16 +291,30 @@ class SignatureKernel:
         return None
 
     def _K_levels(self, X, Y):
-        rbf = self._fused_base_kind()
-        if rbf is not None and (
+        big = (
             X.shape[0] * Y.shape[0] >= self._FUSED_MIN_PAIRS
             or self.engine == "pallas"
-        ):
+        )
+        rbf = self._fused_base_kind()
+        if rbf is not None and big:
             from gpsig_tpu.ops.pallas.fused_gram import fused_gram_levels
 
             return fused_gram_levels(X, Y, self.num_levels, rbf,
                                      interpret=self._pallas_interpret(),
                                      mxu=self._mxu_mode(X))
+        kind = self._fused_ho_kind()
+        if kind is not None and big:
+            from gpsig_tpu.ops.pallas.fused_gram_ho import (
+                fused_gram_ho_levels,
+            )
+
+            if kind.startswith("poly"):
+                X = self._ho_augment(X)
+                Y = self._ho_augment_other(Y)
+            return fused_gram_ho_levels(
+                X, Y, self.num_levels, self.order, kind, self.difference,
+                interpret=self._pallas_interpret(), mxu=self._mxu_mode(X),
+            )
         M = self._increment_matrix(X, Y)
         return self._recursion(M)
 
@@ -279,9 +331,20 @@ class SignatureKernel:
         M = self._increment_matrix_diag(X)
         return self._recursion(M)
 
+    def _will_fuse(self, n_pairs):
+        """True when _K_levels will take a fully-fused Pallas path (then
+        row-blocking is pointless — the fused kernels never materialise
+        the [N², L, L] tensor)."""
+        big = n_pairs >= self._FUSED_MIN_PAIRS or self.engine == "pallas"
+        return big and (
+            self._fused_base_kind() is not None
+            or self._fused_ho_kind() is not None
+        )
+
     def _K_levels_blocked(self, X, Y):
         rb = self.row_block
-        if rb <= 0 or X.shape[0] <= rb or self._fused_base_kind() is not None:
+        if (rb <= 0 or X.shape[0] <= rb
+                or self._will_fuse(X.shape[0] * Y.shape[0])):
             return self._K_levels(X, Y)
         import jax
 

@@ -195,3 +195,109 @@ def test_poly_kernel_runs():
     K = np.asarray(kern.K(X))
     np.testing.assert_allclose(K, K.T, rtol=1e-10)
     assert np.linalg.eigvalsh(K).min() > -1e-8
+
+
+# ---------------------------------------------------------------------------
+# Engine dispatch parity: engine='pallas' (general fused kernel, interpret
+# on CPU) vs engine='xla' through the full kernel layer — order >= 2,
+# difference=False, Poly/Cosine bases, lags, and gradients (VERDICT r3
+# directives #1/#6). Reference: gpsig/kernels.py::SignatureKernel option
+# surface (SURVEY.md §2.1).
+# ---------------------------------------------------------------------------
+
+from gpsig_tpu.kernels.signature import SignatureCosine  # noqa: E402
+
+
+def _engine_pair(ctor, d, nl, **kw):
+    return (
+        ctor(d, nl, engine="xla", **kw),
+        ctor(d, nl, engine="pallas", **kw),
+    )
+
+
+@pytest.mark.parametrize(
+    "ctor,kw",
+    [
+        (SignatureRBF, dict(order=2)),
+        (SignatureRBF, dict(order=3, normalization=False)),
+        (SignatureRBF, dict(order=1, difference=False)),
+        (SignatureRBF, dict(order=2, difference=False)),
+        (SignatureLinear, dict(order=2)),
+        (SignaturePoly, dict(order=2, degree=2, offset=0.7,
+                             dtype=jnp.float64)),
+        (SignaturePoly, dict(order=1, degree=3, dtype=jnp.float64)),
+        (SignatureCosine, dict(order=2)),
+    ],
+)
+def test_general_fused_engine_matches_xla(ctor, kw):
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(_paths(rng, 5, 7, 2))
+    Y = jnp.asarray(_paths(rng, 4, 7, 2))
+    kx, kp = _engine_pair(ctor, 2, 4, lengthscales=np.array([0.9, 1.2]),
+                          **kw)
+    Kx = np.asarray(kx.K(X, Y))
+    Kp = np.asarray(kp.K(X, Y))
+    np.testing.assert_allclose(Kp, Kx, rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(kp.K(X)), np.asarray(kx.K(X)), rtol=2e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(normalization=False),
+    dict(difference=False),
+])
+def test_lags_through_fused_engines(order, kw):
+    """num_lags composes with the fused Pallas engines: the kernel sees
+    d·(1+lags) channels plus mixing weights (lag augmentation happens
+    upstream) — parity incl. lag/gamma gradients (VERDICT r3 #6)."""
+    rng = np.random.default_rng(8)
+    X = jnp.asarray(_paths(rng, 4, 8, 2))
+    Y = jnp.asarray(_paths(rng, 3, 8, 2))
+    kx, kp = _engine_pair(SignatureRBF, 2, 3, lengthscales=1.1,
+                          num_lags=2, order=order, **kw)
+    np.testing.assert_allclose(
+        np.asarray(kp.K(X, Y)), np.asarray(kx.K(X, Y)),
+        rtol=2e-5, atol=1e-7)
+
+    def loss(kern):
+        return jnp.sum(kern.K(X, Y) ** 2)
+
+    gx = jax.grad(loss)(kx)
+    gp = jax.grad(loss)(kp)
+    for name in ("raw_lags", "raw_gamma", "raw_lengthscales",
+                 "raw_variances", "raw_sigma"):
+        a, b = getattr(gx, name), getattr(gp, name)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-6,
+            err_msg=name)
+
+
+@pytest.mark.parametrize(
+    "ctor,kw",
+    [
+        (SignatureRBF, dict(order=2)),
+        (SignatureRBF, dict(order=2, difference=False)),
+        (SignaturePoly, dict(order=2, degree=2, offset=0.6,
+                             dtype=jnp.float64)),
+        (SignatureCosine, dict(order=3)),
+    ],
+)
+def test_general_fused_engine_grads_match_xla(ctor, kw):
+    """Hyperparameter gradients through the general fused path (incl. the
+    Poly offset via its folded constant channel) match the XLA engine."""
+    rng = np.random.default_rng(9)
+    X = jnp.asarray(_paths(rng, 4, 6, 2))
+    Y = jnp.asarray(_paths(rng, 3, 6, 2))
+    kx, kp = _engine_pair(ctor, 2, 3, lengthscales=1.0, **kw)
+
+    def loss(kern):
+        return jnp.sum(kern.K(X, Y) ** 2)
+
+    gx, gp = jax.grad(loss)(kx), jax.grad(loss)(kp)
+    flat_x = jax.tree_util.tree_leaves(gx)
+    flat_p = jax.tree_util.tree_leaves(gp)
+    for a, b in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-6)
