@@ -42,41 +42,98 @@ WINDOWS_PATH = os.path.join(os.path.dirname(__file__),
 # Frozen training protocol — changing any of these invalidates the windows.
 PROTOCOL = dict(num_tensors=64, num_levels=4, batch=50, iters=2000,
                 learning_rate=1e-2, gamma=0.1, seed=0)
+# Variant protocols (VERDICT r3 #7: the VOSF and low-rank tracks carry
+# their own frozen windows so a quality regression in ops/explicit.py or
+# ops/low_rank.py fails this harness, not just unit tests). Suite entries
+# are named "<dataset>@<variant>".
+VOSF_PROTOCOL = dict(variant="vosf", num_levels=6, batch=50, iters=2000,
+                     learning_rate=1e-2, gamma=0.0, seed=0)
+LOWRANK_PROTOCOL = dict(variant="lowrank", num_components=64, num_levels=4,
+                        num_sequences=64, seq_len=10, batch=50, iters=600,
+                        learning_rate=1e-2, gamma=0.1, seed=0)
+VARIANT_SUITE = ["SynthGunPoint@vosf", "SynthBasicMotions@lowrank"]
 
 
-def run_dataset(name, args, protocol=PROTOCOL):
+def _build_model(name, variant, protocol, Xtr_j, d, C, dtype):
     import jax
     import jax.numpy as jnp
 
     from gpsig_tpu import likelihoods as liks
+    from gpsig_tpu.models.svgp import SVGP
+
+    nl = protocol["num_levels"]
+    key = jax.random.PRNGKey(protocol["seed"])
+    if variant == "vosf":
+        from gpsig_tpu.kernels.vosf import (
+            ExplicitSignatureKernel,
+            OrthogonalSignatureFeatures,
+        )
+
+        kern = ExplicitSignatureKernel.create(
+            d, nl, lengthscales=float(np.sqrt(d)), normalization=True,
+            dtype=dtype)
+        feat = OrthogonalSignatureFeatures.for_kernel(kern)
+        return SVGP.create(kern, liks.MultiClass(num_classes=C), feat,
+                           num_latent=C, q_diag=True, dtype=dtype)
+    if variant == "lowrank":
+        from gpsig_tpu.inducing import make_inducing_sequences_from_data
+        from gpsig_tpu.kernels.low_rank import LowRankSignatureRBF
+
+        k1, k2 = jax.random.split(key)
+        kern = LowRankSignatureRBF(
+            k1, Xtr_j, d, nl,
+            num_components=protocol["num_components"],
+            lengthscales=float(np.sqrt(d)), normalization=True,
+            dtype=dtype)
+        feat = make_inducing_sequences_from_data(
+            k2, Xtr_j, protocol["num_sequences"], protocol["seq_len"], d)
+        return SVGP.create(kern, liks.MultiClass(num_classes=C), feat,
+                           num_latent=C, dtype=dtype)
     from gpsig_tpu.inducing import make_inducing_tensors_from_data
     from gpsig_tpu.kernels.signature import SignatureRBF
-    from gpsig_tpu.models.svgp import SVGP
-    from gpsig_tpu.training.loop import fit
-
-    Xtr, ytr, Xte, yte, _ = get_classification_data(name, protocol["seed"])
-    dtype = jnp.float64 if args.x64 else jnp.float32
-    d = Xtr.shape[-1]
-    C = int(max(ytr.max(), yte.max())) + 1
-    nl = protocol["num_levels"]
-    Xtr_j = jnp.asarray(Xtr, dtype)
 
     kern = SignatureRBF(d, nl, lengthscales=float(np.sqrt(d)), order=1,
                         normalization=True, dtype=dtype)
     feat = make_inducing_tensors_from_data(
-        jax.random.PRNGKey(protocol["seed"]), Xtr_j,
-        num_tensors=protocol["num_tensors"], num_levels=nl,
+        key, Xtr_j, num_tensors=protocol["num_tensors"], num_levels=nl,
         num_features=d, increments=True,
     )
-    model = SVGP.create(kern, liks.MultiClass(num_classes=C), feat,
-                        num_latent=C, dtype=dtype)
+    return SVGP.create(kern, liks.MultiClass(num_classes=C), feat,
+                       num_latent=C, dtype=dtype)
+
+
+def split_variant(name):
+    """'SynthGunPoint@vosf' -> ('SynthGunPoint', 'vosf', its protocol)."""
+    if "@" not in name:
+        return name, "svgp", PROTOCOL
+    base, variant = name.split("@", 1)
+    proto = {"vosf": VOSF_PROTOCOL, "lowrank": LOWRANK_PROTOCOL}[variant]
+    return base, variant, proto
+
+
+def run_dataset(name, args, protocol=None):
+    import jax  # noqa: F401
+    import jax.numpy as jnp
+
+    from gpsig_tpu.training.loop import fit
+
+    base, variant, default_proto = split_variant(name)
+    protocol = protocol or default_proto
+    Xtr, ytr, Xte, yte, _ = get_classification_data(base, protocol["seed"])
+    dtype = jnp.float64 if args.x64 else jnp.float32
+    d = Xtr.shape[-1]
+    C = int(max(ytr.max(), yte.max())) + 1
+    Xtr_j = jnp.asarray(Xtr, dtype)
+
+    model = _build_model(base, variant, protocol, Xtr_j, d, C, dtype)
     iters = args.iters or protocol["iters"]
     t0 = time.time()
     model, hist = fit(
         model, Xtr_j, jnp.asarray(ytr), num_iters=iters,
         batch_size=min(protocol["batch"], len(ytr)),
         learning_rate=protocol["learning_rate"],
-        gamma=protocol["gamma"], seed=protocol["seed"],
+        gamma=protocol["gamma"], use_natgrad=protocol["gamma"] > 0,
+        seed=protocol["seed"],
     )
     t_train = time.time() - t0
     acc, nlpp = accuracy_and_nlpp(model, jnp.asarray(Xte, dtype), yte)
@@ -109,7 +166,9 @@ def main():
 
     from gpsig_tpu.data import uea_like
 
-    names = args.datasets or uea_like.available_datasets()
+    names = args.datasets or (
+        uea_like.available_datasets() + VARIANT_SUITE
+    )
     windows = {}
     if os.path.exists(WINDOWS_PATH):
         windows = json.load(open(WINDOWS_PATH))
@@ -121,9 +180,10 @@ def main():
     if args.write_windows:
         new = dict(windows)  # incremental: finished datasets land at once
         for name in names:
-            if name not in uea_like.available_datasets():
+            base, variant, base_proto = split_variant(name)
+            if base not in uea_like.available_datasets():
                 continue
-            fingerprint = uea_like.dataset_fingerprint(name)
+            fingerprint = uea_like.dataset_fingerprint(base)
             old = windows.get(name, {})
             # a seed measurement can be reused from the committed file iff
             # the dataset (fingerprint) and training protocol are unchanged
@@ -132,7 +192,7 @@ def main():
             old_ok = (old.get("fingerprint") == fingerprint
                       and {k: v for k, v in old.get(
                           "protocol", {}).items() if k != "seed"}
-                      == {k: v for k, v in PROTOCOL.items()
+                      == {k: v for k, v in base_proto.items()
                           if k != "seed"})
             old_meas = old.get("measured", {}) if old_ok else {}
             old_acc = dict(old_meas.get("acc_per_seed", {}))
@@ -150,7 +210,7 @@ def main():
                           f"acc={accs[-1]:.3f} nlpp={nlpps[-1]:.3f} "
                           f"(reused)", flush=True)
                     continue
-                proto = dict(PROTOCOL, seed=seed)
+                proto = dict(base_proto, seed=seed)
                 res = run_dataset(name, args, protocol=proto)
                 accs.append(res["acc"])
                 nlpps.append(res["nlpp"])
@@ -167,7 +227,7 @@ def main():
                     nlpp_per_seed=dict(zip(
                         map(str, args.calib_seeds), nlpps)),
                     acc_spread=round(spread, 4)),
-                protocol=PROTOCOL,
+                protocol=base_proto,
                 calib_seeds=args.calib_seeds,
             )
             # atomic replace: a crash mid-dump must not truncate the
@@ -182,9 +242,10 @@ def main():
     results, failures = [], []
     for name in names:
         res = run_dataset(name, args)
-        frozen = name in uea_like.available_datasets()
+        base, _, _ = split_variant(name)
+        frozen = base in uea_like.available_datasets()
         if frozen:
-            res["fingerprint"] = uea_like.dataset_fingerprint(name)
+            res["fingerprint"] = uea_like.dataset_fingerprint(base)
         results.append(res)
         status = "—"
         if frozen and name in windows:

@@ -26,6 +26,53 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _is_inexact(leaf):
+    return jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact)
+
+
+def _value_and_grad_floats(loss_fn, model):
+    """value_and_grad over only the inexact (float/complex) leaves.
+
+    Some kernels carry integer pytree leaves that are configuration, not
+    parameters (e.g. LowRankSignatureKernel.pair_indices — the frozen
+    sketch index sets); ``jax.grad`` rejects int inputs, so those leaves
+    are held out of differentiation and get zero (same-dtype) gradients.
+    Pair with :func:`float_only_optimizer` so the optimizer leaves them
+    untouched."""
+    leaves, treedef = jax.tree_util.tree_flatten(model)
+    diff = [_is_inexact(l) for l in leaves]
+    if all(diff):
+        return jax.value_and_grad(loss_fn)(model)
+
+    def f(diff_leaves):
+        it = iter(diff_leaves)
+        full = [next(it) if m else l for m, l in zip(diff, leaves)]
+        return loss_fn(jax.tree_util.tree_unflatten(treedef, full))
+
+    dl = [l for m, l in zip(diff, leaves) if m]
+    val, g = jax.value_and_grad(f)(dl)
+    it = iter(g)
+    gleaves = [
+        next(it) if m else jnp.zeros_like(l) for m, l in zip(diff, leaves)
+    ]
+    return val, jax.tree_util.tree_unflatten(treedef, gleaves)
+
+
+def float_only_optimizer(inner, model):
+    """Wrap ``inner`` so non-inexact leaves receive identically-zero
+    same-dtype updates (Adam's moments would silently promote int params
+    to float otherwise)."""
+    leaves = jax.tree_util.tree_leaves(model)
+    if all(_is_inexact(l) for l in leaves):
+        return inner
+    labels = jax.tree_util.tree_map(
+        lambda l: "train" if _is_inexact(l) else "freeze", model
+    )
+    return optax.multi_transform(
+        {"train": inner, "freeze": optax.set_to_zero()}, labels
+    )
+
+
 def make_step_fn(
     optimizer: optax.GradientTransformation,
     num_data: int,
@@ -54,7 +101,7 @@ def make_step_fn(
                 loss = loss - log_prior_fn(m)
             return loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(model)
+        loss, grads = _value_and_grad_floats(loss_fn, model)
         if freeze_variational_in_adam:
             grads = grads.replace(
                 q_mu=jnp.zeros_like(grads.q_mu),
@@ -107,7 +154,7 @@ def fit(
 
     N = X.shape[0]
     num_data = N
-    optimizer = optax.adam(learning_rate)
+    optimizer = float_only_optimizer(optax.adam(learning_rate), model)
     step_fn = make_step_fn(optimizer, num_data, gamma, use_natgrad)
     state = init_state(model, optimizer)
     key = jax.random.PRNGKey(seed)

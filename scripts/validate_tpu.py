@@ -603,6 +603,169 @@ def job_nuts():
           f"{ess.max():.0f}  -> min ESS/s {ess.min() / t_run:.2f}")
 
 
+
+
+def job_ho_gram():
+    """General fused Gram (order>=2) on-chip: parity + entries/s at N=256
+    (VERDICT r3 #1 'Done' criteria)."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops.pallas import fused_gram_ho as fho
+
+    N, L, d, nl = 256, 50, 2, 4
+    R = 16
+    rng = np.random.default_rng(0)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    for order in (2, 3):
+        got = np.asarray(
+            fho.fused_gram_ho_levels(X, X, nl, order, "rbf", True,
+                                     mxu="split"))
+        want = np.asarray(fho._xla_reference_ho(X, X, nl, order, "rbf",
+                                                True))
+        err = np.max(np.abs(got - want) / (np.max(np.abs(want)) + 1e-6))
+        print(f"ho_gram order={order} parity scaled-err {err:.2e}")
+
+        @jax.jit
+        def grams(X, seed, _order=order):
+            eps = 1e-4 * (seed + jnp.arange(R, dtype=X.dtype))
+
+            def body(c, e):
+                out = fho.fused_gram_ho_levels(
+                    X * (1.0 + e), X, nl, _order, "rbf", True,
+                    mxu="split")
+                return c, jnp.sum(out)
+
+            _, s = jax.lax.scan(body, 0.0, eps)
+            return s
+
+        np.asarray(grams(X, jnp.float32(0)))
+        t = _median_time(
+            lambda i: np.asarray(grams(X, jnp.float32(i)))) / R
+        print(f"ho_gram order={order} nl={nl} 'split' {t*1e3:.2f} ms/gram"
+              f"  ({N*N/t/1e6:.1f}M entries/s)")
+
+
+def job_ho_gram_n800():
+    """N=800 order-2 Gram completing on one chip — the configuration that
+    used to hit the 51 GB HBM wall through sig_gram's XLA-built increment
+    tensor (VERDICT r3 #1)."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops.pallas import fused_gram_ho as fho
+
+    N, L, d, nl, order = 800, 50, 2, 4, 2
+    rng = np.random.default_rng(0)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    f = jax.jit(lambda X: fho.fused_gram_ho_levels(
+        X, X, nl, order, "rbf", True, mxu="split"))
+    out = np.asarray(f(X))
+    assert np.all(np.isfinite(out)), "non-finite entries"
+    t = _median_time(lambda i: np.asarray(f(X * (1 + 1e-4 * i))))
+    print(f"ho_gram_n800: order-2 [5, 800, 800] levels finite; "
+          f"{t*1e3:.1f} ms/gram ({N*N/t/1e6:.1f}M entries/s)")
+
+
+def job_ho_gram_grad():
+    """Fused HO backward on-chip: parity vs XLA vjp + fwd+grad timing."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops.pallas import fused_gram_ho as fho
+
+    N, L, d, nl, order = 256, 50, 2, 4, 2
+    R = 8
+    rng = np.random.default_rng(1)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    Y = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+
+    def loss(X, Y):
+        lv = fho.fused_gram_ho_levels(X, Y, nl, order, "rbf", True,
+                                      mxu="split")
+        return jnp.sum(lv * (1.0 + 0.1 * lv))
+
+    gx, gy = jax.jit(jax.grad(loss, argnums=(0, 1)))(X, Y)
+    gx, gy = np.asarray(gx), np.asarray(gy)
+
+    def loss_x(X, Y):
+        lv = fho._xla_reference_ho(X, Y, nl, order, "rbf", True)
+        return jnp.sum(lv * (1.0 + 0.1 * lv))
+
+    rx, ry = jax.jit(jax.grad(loss_x, argnums=(0, 1)))(X, Y)
+    ex = np.max(np.abs(gx - np.asarray(rx))) / (
+        np.max(np.abs(np.asarray(rx))) + 1e-9)
+    ey = np.max(np.abs(gy - np.asarray(ry))) / (
+        np.max(np.abs(np.asarray(ry))) + 1e-9)
+    print(f"ho_gram_grad parity Xbar {ex:.2e}  Ybar {ey:.2e}")
+
+    @jax.jit
+    def fwdgrad(X, Y, seed):
+        eps = 1e-4 * (seed + jnp.arange(R, dtype=X.dtype))
+
+        def body(c, e):
+            v, (gx, gy) = jax.value_and_grad(loss, argnums=(0, 1))(
+                X * (1.0 + e), Y)
+            return c, v + jnp.sum(gx) + jnp.sum(gy)
+
+        _, s = jax.lax.scan(body, 0.0, eps)
+        return s
+
+    np.asarray(fwdgrad(X, Y, jnp.float32(0)))
+    t = _median_time(lambda i: np.asarray(fwdgrad(X, Y, jnp.float32(i)))) / R
+    print(f"ho_gram_grad fwd+grad {t*1e3:.2f} ms/gram")
+
+
+def job_posterior():
+    """Cached-posterior prediction throughput at the flagship M=500
+    (VERDICT r3 #5): SVGP.predict_f (chol + solves per batch) vs
+    SVGP.posterior().predict_f (cached projections)."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu import likelihoods as liks
+    from gpsig_tpu.inducing import make_inducing_tensors_from_data
+    from gpsig_tpu.kernels.signature import SignatureRBF
+    from gpsig_tpu.models.svgp import SVGP
+
+    M, nl, C, B, L, d = 500, 5, 10, 100, 50, 2
+    rng = np.random.default_rng(0)
+    Xtr = jnp.asarray(
+        (0.3 * rng.standard_normal((max(M, 64), L, d))).cumsum(1),
+        jnp.float32)
+    kern = SignatureRBF(d, nl, lengthscales=1.0, dtype=jnp.float32)
+    feat = make_inducing_tensors_from_data(
+        jax.random.PRNGKey(0), Xtr, M, nl, increments=True)
+    model = SVGP.create(kern, liks.MultiClass.create(C), feat,
+                        num_latent=C, dtype=jnp.float32)
+    model = model.replace(q_mu=0.1 * jax.random.normal(
+        jax.random.PRNGKey(1), model.q_mu.shape, jnp.float32))
+    Xs = jnp.asarray(
+        (0.3 * rng.standard_normal((B, L, d))).cumsum(1), jnp.float32)
+
+    direct = jax.jit(lambda m, X: m.predict_f(X))
+    m0, v0 = direct(model, Xs)
+    np.asarray(m0)
+    t_direct = _median_time(
+        lambda i: np.asarray(direct(model, Xs * (1 + 1e-4 * i))[0]))
+
+    make_post = jax.jit(lambda m: m.posterior())
+    post = jax.block_until_ready(make_post(model))
+    cached = jax.jit(lambda p, X: p.predict_f(X))
+    m1, v1 = cached(post, Xs)
+    em = np.max(np.abs(np.asarray(m1) - np.asarray(m0)))
+    ev = np.max(np.abs(np.asarray(v1) - np.asarray(v0)))
+    t_cached = _median_time(
+        lambda i: np.asarray(cached(post, Xs * (1 + 1e-4 * i))[0]))
+    t_build = _median_time(lambda i: np.asarray(
+        make_post(model.replace(q_mu=model.q_mu * (1 + 1e-4 * i))).proj_mean))
+    print(f"posterior parity mean {em:.2e} var {ev:.2e}")
+    print(f"predict_f direct {t_direct*1e3:.1f} ms/batch(B={B})  "
+          f"cached {t_cached*1e3:.1f} ms/batch  "
+          f"posterior build {t_build*1e3:.1f} ms (amortised once)")
+    print(f"speedup per batch: {t_direct/t_cached:.2f}x; break-even at "
+          f"{t_build/max(t_direct-t_cached,1e-9):.1f} batches")
+
 if __name__ == "__main__":
     job = sys.argv[1] if len(sys.argv) > 1 else "fused_fwd"
     t0 = time.time()
@@ -620,5 +783,9 @@ if __name__ == "__main__":
      "sharded_step": job_sharded_step,
      "stable_chol": job_stable_chol,
      "low_rank": job_low_rank,
-     "nuts": job_nuts}[job]()
+     "nuts": job_nuts,
+     "ho_gram": job_ho_gram,
+     "ho_gram_n800": job_ho_gram_n800,
+     "ho_gram_grad": job_ho_gram_grad,
+     "posterior": job_posterior}[job]()
     print(f"total {time.time()-t0:.1f} s")
