@@ -26,6 +26,13 @@ def main():
     p.add_argument("--warmup", type=int, default=200)
     p.add_argument("--samples", type=int, default=200)
     p.add_argument("--n", type=int, default=40)
+    p.add_argument("--l", type=int, default=20, help="sequence length")
+    p.add_argument("--levels", type=int, default=3)
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="signature-Gram engine inside the NUTS logp; "
+                        "'pallas' forces the fused kernels into the "
+                        "leapfrog (VERDICT r3 #4)")
     p.add_argument("--draws-per-dispatch", type=int, default=None,
                    help="bound NUTS transitions per device dispatch (host "
                         "loop over jitted chunks, bit-identical; required "
@@ -45,10 +52,10 @@ def main():
     from gpsig_tpu.parallel.chains import run_chains_sharded
 
     dtype = jnp.float64 if args.x64 else jnp.float32
-    X, y = regression_sequences(seed=args.seed, N=args.n, L=20, d=2)
+    X, y = regression_sequences(seed=args.seed, N=args.n, L=args.l, d=2)
     Xj, yj = jnp.asarray(X, dtype), jnp.asarray(y, dtype)
     d = 2
-    nl = 3
+    nl = args.levels
 
     def build(theta):
         # θ: [d] log-lengthscales, [nl+1] log-variances, [1] log-noise
@@ -56,7 +63,8 @@ def main():
         var = jnp.exp(theta[d : d + nl + 1])
         noise = jnp.exp(theta[-1])
         kern = SignatureRBF(d, nl, lengthscales=1.0, order=1,
-                            normalization=True, dtype=dtype)
+                            normalization=True, dtype=dtype,
+                            engine=args.engine)
         from gpsig_tpu import params as pr
 
         kern = kern.replace(

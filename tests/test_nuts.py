@@ -180,3 +180,58 @@ def test_chunked_guards_and_empty_sampling(tmp_path):
                                  max_depth=4, draws_per_dispatch=4)
     with pytest.raises(ValueError, match="different sampler config"):
         other(key, theta0, checkpoint_dir=cdir)
+
+
+def test_nuts_logp_through_fused_engines():
+    """VERDICT r3 #4: the fused Pallas engines compose with the NUTS
+    leapfrog — engine='pallas' (interpret on CPU) logp + grad match the
+    XLA engine under vmap, and a short sharded NUTS run executes with the
+    fused kernels inside the tree-doubling while_loop."""
+    import jax.numpy as jnp
+
+    from gpsig_tpu import params as pr
+    from gpsig_tpu.kernels.signature import SignatureRBF
+    from gpsig_tpu.models.gpr import GPR
+
+    rng = np.random.default_rng(5)
+    N, L, d, nl = 6, 8, 2, 2
+    X = jnp.asarray((0.4 * rng.standard_normal((N, L, d))).cumsum(1))
+    y = jnp.asarray(rng.standard_normal((N, 1)))
+
+    def make_logp(engine):
+        def logp(theta):
+            ell = jnp.exp(theta[:d])
+            var = jnp.exp(theta[d : d + nl + 1])
+            noise = jnp.exp(theta[-1])
+            kern = SignatureRBF(d, nl, lengthscales=1.0, order=1,
+                                normalization=True, engine=engine)
+            kern = kern.replace(
+                raw_lengthscales=pr.inv_positive(ell),
+                raw_variances=pr.inv_positive(var),
+            )
+            m = GPR.create(kern, noise_variance=noise)
+            return m.log_marginal_likelihood(X, y) - 0.125 * jnp.sum(
+                theta**2)
+        return logp
+
+    dim = d + nl + 2
+    thetas = 0.2 * jax.random.normal(jax.random.PRNGKey(2), (4, dim))
+    lx = jax.vmap(make_logp("xla"))(thetas)
+    lp = jax.vmap(make_logp("pallas"))(thetas)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lx),
+                               rtol=1e-6)
+    gx = jax.vmap(jax.grad(make_logp("xla")))(thetas)
+    gp = jax.vmap(jax.grad(make_logp("pallas")))(thetas)
+    # the fused kernels' MXU cores are f32 regardless of x64 mode; the
+    # GPR solve amplifies that into the hyper-gradients — f32-scale tol
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-3, atol=1e-6)
+
+    # fused kernels inside the NUTS while_loop, vmapped chains, sharded
+    mesh = meshlib.make_mesh(data=8, tile=1)
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (8, dim))
+    samples, info = run_chains_sharded(
+        jax.random.PRNGKey(4), make_logp("pallas"), theta0, mesh,
+        num_warmup=5, num_samples=5, max_depth=3)
+    assert np.all(np.isfinite(np.asarray(samples)))
+    assert samples.shape == (8, 5, dim)
