@@ -49,7 +49,7 @@ PROTOCOL = dict(num_tensors=64, num_levels=4, batch=50, iters=2000,
 VOSF_PROTOCOL = dict(variant="vosf", num_levels=6, batch=50, iters=2000,
                      learning_rate=1e-2, gamma=0.0, seed=0)
 LOWRANK_PROTOCOL = dict(variant="lowrank", num_components=64, num_levels=4,
-                        num_sequences=64, seq_len=10, batch=50, iters=600,
+                        num_sequences=64, seq_len=10, batch=50, iters=1500,
                         learning_rate=1e-2, gamma=0.1, seed=0)
 VARIANT_SUITE = ["SynthGunPoint@vosf", "SynthBasicMotions@lowrank"]
 
@@ -79,7 +79,12 @@ def _build_model(name, variant, protocol, Xtr_j, d, C, dtype):
         from gpsig_tpu.inducing import make_inducing_sequences_from_data
         from gpsig_tpu.kernels.low_rank import LowRankSignatureRBF
 
-        k1, k2 = jax.random.split(key)
+        # The sketch index sets and Nystrom landmarks are model
+        # configuration, not a training seed: pin them so the calibration
+        # seeds measure optimization variance only (a seed-dependent
+        # sketch made the window floor useless: acc 0.30/0.60/0.475).
+        k1 = jax.random.PRNGKey(20240820)
+        k2 = key
         kern = LowRankSignatureRBF(
             k1, Xtr_j, d, nl,
             num_components=protocol["num_components"],

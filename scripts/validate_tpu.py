@@ -662,9 +662,16 @@ def job_ho_gram_n800():
         X, X, nl, order, "rbf", True, mxu="split"))
     out = np.asarray(f(X))
     assert np.all(np.isfinite(out)), "non-finite entries"
-    t = _median_time(lambda i: np.asarray(f(X * (1 + 1e-4 * i))))
+    t_fetch = _median_time(lambda i: np.asarray(f(X * (1 + 1e-4 * i))))
+    # compute-only wall: fetch a scalar reduction (the 12.8 MB full-levels
+    # fetch through the axon relay costs ~0.5 s and is not kernel time)
+    fsum = jax.jit(lambda X: jnp.sum(fho.fused_gram_ho_levels(
+        X, X, nl, order, "rbf", True, mxu="split")))
+    np.asarray(fsum(X))
+    t = _median_time(lambda i: np.asarray(fsum(X * (1 + 1e-4 * i))))
     print(f"ho_gram_n800: order-2 [5, 800, 800] levels finite; "
-          f"{t*1e3:.1f} ms/gram ({N*N/t/1e6:.1f}M entries/s)")
+          f"compute {t*1e3:.1f} ms/gram ({N*N/t/1e6:.1f}M entries/s); "
+          f"incl. full 12.8MB host fetch {t_fetch*1e3:.1f} ms")
 
 
 def job_ho_gram_grad():
@@ -766,6 +773,84 @@ def job_posterior():
     print(f"speedup per batch: {t_direct/t_cached:.2f}x; break-even at "
           f"{t_build/max(t_direct-t_cached,1e-9):.1f} batches")
 
+
+
+def job_nuts_pallas():
+    """VERDICT r3 #4: the fused Pallas engines inside the NUTS leapfrog on
+    the real chip — logp/grad parity vs the XLA engine under vmap, then a
+    short chunked NUTS run per engine. At config-5 scale (N>=100, 128
+    chains) the XLA path is impossible anyway: vmapping it materialises
+    [C, N^2, L, L] (~49 GB at C=128, N=100, L=50) where the fused kernel
+    streams everything through VMEM."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu import params as pr
+    from gpsig_tpu.data.synthetic import regression_sequences
+    from gpsig_tpu.kernels.signature import SignatureRBF
+    from gpsig_tpu.models.gpr import GPR
+    from gpsig_tpu.parallel import mesh as meshlib
+    from gpsig_tpu.parallel.chains import make_chunked_sampler
+
+    dtype = jnp.float32
+    d, nl = 2, 4
+    N, L = 64, 50
+    C, WARM, SAMP, DEPTH = 8, 40, 40, 5
+    X, y = regression_sequences(seed=0, N=N, L=L, d=d)
+    Xj, yj = jnp.asarray(X, dtype), jnp.asarray(y, dtype)
+
+    def make_logp(engine):
+        def logp(theta):
+            ell = jnp.exp(theta[:d])
+            var = jnp.exp(theta[d : d + nl + 1])
+            noise = jnp.exp(theta[-1])
+            kern = SignatureRBF(d, nl, lengthscales=1.0, order=1,
+                                normalization=True, dtype=dtype,
+                                engine=engine)
+            kern = kern.replace(raw_lengthscales=pr.inv_positive(ell),
+                                raw_variances=pr.inv_positive(var))
+            m = GPR.create(kern, noise_variance=noise, dtype=dtype)
+            return m.log_marginal_likelihood(Xj, yj) - 0.5 * jnp.sum(
+                theta**2) / 4.0
+        return logp
+
+    dim = d + nl + 2
+    thetas = 0.2 * jax.random.normal(jax.random.PRNGKey(2), (C, dim),
+                                     dtype)
+    vx = np.asarray(jax.jit(jax.vmap(make_logp("xla")))(thetas))
+    vp = np.asarray(jax.jit(jax.vmap(make_logp("pallas")))(thetas))
+    print(f"nuts_pallas logp parity (vmap x{C}): "
+          f"max |d| {np.max(np.abs(vp - vx)):.2e} on |logp|~"
+          f"{np.max(np.abs(vx)):.1f}")
+    gx = np.asarray(jax.jit(jax.vmap(jax.grad(make_logp("xla"))))(thetas))
+    gp = np.asarray(jax.jit(jax.vmap(jax.grad(make_logp("pallas"))))(
+        thetas))
+    rel = np.max(np.abs(gp - gx)) / (np.max(np.abs(gx)) + 1e-9)
+    print(f"nuts_pallas grad parity (vmap): scaled-err {rel:.2e}")
+
+    mesh = meshlib.make_mesh()
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (C, dim),
+                                     dtype)
+    for engine in ("pallas", "xla"):
+        sampler = make_chunked_sampler(
+            make_logp(engine), mesh, num_warmup=WARM, num_samples=SAMP,
+            max_depth=DEPTH, draws_per_dispatch=20)
+        t0 = time.time()
+        samples, info = sampler(jax.random.PRNGKey(0), theta0)
+        jax.block_until_ready(samples)
+        t_first = time.time() - t0
+        t0 = time.time()
+        samples, info = sampler(jax.random.PRNGKey(7), theta0)
+        t_run = time.time() - t0
+        acc = float(np.asarray(info["accept_prob"]).mean())
+        lv = float(np.asarray(info["num_leaves"]).mean())
+        assert np.all(np.isfinite(np.asarray(samples)))
+        print(f"nuts_pallas engine={engine}: N={N} L={L} nl={nl} "
+              f"chains={C} warm+samp={WARM}+{SAMP}: first(compile+run) "
+              f"{t_first:.1f}s steady {t_run:.1f}s "
+              f"({C*SAMP/t_run:.1f} draws/s) accept {acc:.3f} "
+              f"leaves/draw {lv:.1f}")
+
+
 if __name__ == "__main__":
     job = sys.argv[1] if len(sys.argv) > 1 else "fused_fwd"
     t0 = time.time()
@@ -787,5 +872,6 @@ if __name__ == "__main__":
      "ho_gram": job_ho_gram,
      "ho_gram_n800": job_ho_gram_n800,
      "ho_gram_grad": job_ho_gram_grad,
-     "posterior": job_posterior}[job]()
+     "posterior": job_posterior,
+     "nuts_pallas": job_nuts_pallas}[job]()
     print(f"total {time.time()-t0:.1f} s")

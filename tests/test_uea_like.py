@@ -51,7 +51,8 @@ def test_fingerprints_match_committed_windows():
         pytest.skip("expected_windows.json not calibrated yet")
     windows = json.load(open(WINDOWS))
     for name, win in windows.items():
-        assert uea_like.dataset_fingerprint(name) == win["fingerprint"], (
+        base = name.split("@", 1)[0]  # '<dataset>@<variant>' suite entries
+        assert uea_like.dataset_fingerprint(base) == win["fingerprint"], (
             f"{name}: generated data drifted from the calibrated windows"
         )
 
