@@ -61,6 +61,7 @@ class SVGP:
             kfun, likelihood, ffun, num_latent, whiten=whiten, q_diag=q_diag,
             dtype=dtype,
         )
+        self._post_cache = None  # (model, Posterior) — see _posterior
 
     # -- functional-core handoff -------------------------------------------
     def to_functional(self):
@@ -68,11 +69,24 @@ class SVGP:
 
     def update_functional(self, model):
         self._model = model
+        self._post_cache = None  # parameters changed: drop Kuu factors
         # keep the user's kernel/feature wrappers views in sync
         if hasattr(self._kern_wrapper, "update_functional"):
             self._kern_wrapper.update_functional(model.kernel)
         if hasattr(self._feat_wrapper, "update_functional"):
             self._feat_wrapper.update_functional(model.inducing)
+
+    def _posterior(self):
+        """Prediction-time caching of the Kuu factors (the reference
+        wrapper's role — SURVEY.md §2.1 Models row, §3.2): the
+        precomputed :class:`~gpsig_tpu.models.svgp.Posterior` is reused
+        across predict calls and invalidated whenever the functional
+        model is replaced (every training step calls
+        ``update_functional``)."""
+        cache = getattr(self, "_post_cache", None)
+        if cache is None or cache[0] is not self._model:
+            self._post_cache = (self._model, self._model.posterior())
+        return self._post_cache[1]
 
     @property
     def kern(self):
@@ -127,20 +141,22 @@ class SVGP:
         )
 
     def predict_f(self, Xnew, full_cov=False):
-        m, v = self._model.predict_f(jnp.asarray(Xnew), full_cov=full_cov)
+        m, v = self._posterior().predict_f(
+            jnp.asarray(Xnew), full_cov=full_cov
+        )
         return np.asarray(m), np.asarray(v)
 
     def predict_y(self, Xnew, **kw):
         if getattr(self._model.likelihood, "needs_key", False):
             kw.setdefault("key", self._next_key())
-        m, v = self._model.predict_y(jnp.asarray(Xnew), **kw)
+        m, v = self._posterior().predict_y(jnp.asarray(Xnew), **kw)
         return np.asarray(m), np.asarray(v)
 
     def predict_density(self, Xnew, Ynew, **kw):
         if getattr(self._model.likelihood, "needs_key", False):
             kw.setdefault("key", self._next_key())
         return np.asarray(
-            self._model.predict_log_density(
+            self._posterior().predict_log_density(
                 jnp.asarray(Xnew), jnp.asarray(Ynew), **kw
             )
         )

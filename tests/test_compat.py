@@ -322,3 +322,37 @@ def test_low_rank_landmarks_deterministic(data):
                               feat=feat, num_latent=C)
     np.testing.assert_allclose(k3.compute_K_symm(X), K_ref, rtol=1e-12)
     assert np.isfinite(model.compute_log_likelihood_full())
+
+
+def test_compat_predict_uses_cached_posterior():
+    """The compat wrapper's predict calls route through a cached
+    Posterior (the reference wrapper's prediction-time Kuu-factor caching
+    — SURVEY.md §3.2), invalidated when training replaces the functional
+    model."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    X = (0.4 * rng.standard_normal((12, 6, 2))).cumsum(1).reshape(12, -1)
+    Y = rng.integers(0, 2, (12, 1)).astype(float)
+    kern = gpsig.kernels.SignatureRBF(12, num_features=2, num_levels=2,
+                                      lengthscales=1.0)
+    Z = (0.4 * rng.standard_normal((4, 3, 2))).cumsum(1)
+    feat = gpsig.inducing_variables.InducingSequences(Z)
+    m = gpsig.models.SVGP(X, Y, kern, gpsig.likelihoods.Bernoulli(),
+                          feat=feat, num_latent=1)
+
+    m1, v1 = m.predict_f(X[:5])
+    post1 = m._post_cache[1]
+    m.predict_y(X[:5])
+    assert m._post_cache[1] is post1  # reused, not rebuilt
+
+    # cached predictions agree with the uncached functional model
+    np.testing.assert_allclose(
+        m1, np.asarray(m.to_functional().predict_f(
+            jnp.asarray(X[:5]))[0]), atol=1e-10)
+
+    # a training step invalidates the cache
+    opt = gpsig.training.AdamOptimizer(1e-2)
+    opt.minimize(m, maxiter=2)
+    _ = m.predict_f(X[:5])
+    assert m._post_cache[1] is not post1
