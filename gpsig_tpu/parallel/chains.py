@@ -293,7 +293,8 @@ def make_chunked_sampler(
             if d.startswith("chunk_") and d != f"chunk_{chunk:06d}":
                 shutil.rmtree(os.path.join(cdir, d), ignore_errors=True)
 
-    def sample(key, theta0s, checkpoint_dir=None, max_chunks=None):
+    def sample(key, theta0s, checkpoint_dir=None, max_chunks=None,
+               on_chunk=None):
         """Run (or resume) the chunked sampler.
 
         checkpoint_dir: if set, the full sampler state (NUTS state,
@@ -305,6 +306,10 @@ def make_chunked_sampler(
         on disk) — the time-budgeted slice API for preemptible jobs.
         Checkpointing never perturbs the draw stream (pinned by
         ``test_nuts.py::test_checkpoint_resume_matches_uninterrupted``).
+        on_chunk: optional ``fn(phase: str, pos: int, total: int)`` called
+        on the host after every completed (and materialized) chunk with
+        phase ``"warmup"`` or ``"sampling"`` — progress reporting / wall
+        timing for long relayed runs where a chunk is the dispatch unit.
         """
         C = theta0s.shape[0]
         n_dev = mesh.shape[DATA_AXIS]
@@ -355,6 +360,8 @@ def make_chunked_sampler(
             chunk += 1
             done_here += 1
             checkpoint()
+            if on_chunk is not None:
+                on_chunk("warmup", pos, num_warmup)
 
         while pos < num_samples:
             if max_chunks is not None and done_here >= max_chunks:
@@ -372,6 +379,8 @@ def make_chunked_sampler(
             chunk += 1
             done_here += 1
             checkpoint()
+            if on_chunk is not None:
+                on_chunk("sampling", pos, num_samples)
 
         eps, inv_mass = samp_carry[2], samp_carry[3]
         dt = np.asarray(theta0s).dtype

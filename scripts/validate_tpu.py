@@ -880,6 +880,109 @@ def job_nuts_pallas():
               f"leaves/draw {lv:.1f}")
 
 
+def job_nuts_scale():
+    """VERDICT r3 #3: BASELINE config 5 at its prescribed scale on the
+    chip — 128 chains, config-1-like data (N=100, L=50, d=2, nl=4),
+    chunked dispatch, fused Pallas engines in the leapfrog. The XLA
+    engine cannot run this configuration at all (PERF.md round-4: it
+    faulted the TPU worker already at C=8, N=64 — vmapping it wants
+    [C, N^2, L, L] ≈ 49 GB per leapfrog here). Reports draws/s from
+    steady per-chunk walls, cross-chain ESS (Geyer/Vehtari) and min
+    ESS/s, plus the measured 1x128 vmap-block utilization and its
+    hypothetical (devices x chains/device) regroupings from the
+    recorded leaf counts."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu import params as pr
+    from gpsig_tpu.data.synthetic import regression_sequences
+    from gpsig_tpu.kernels.signature import SignatureRBF
+    from gpsig_tpu.models.gpr import GPR
+    from gpsig_tpu.parallel import mesh as meshlib
+    from gpsig_tpu.parallel.chains import make_chunked_sampler
+    from gpsig_tpu.utils.metrics import effective_sample_size
+
+    dtype = jnp.float32
+    d, nl = 2, 4
+    N, L = 100, 50
+    C, WARM, SAMP, DEPTH, BLK = 128, 50, 50, 6, 2
+    X, y = regression_sequences(seed=0, N=N, L=L, d=d)
+    Xj, yj = jnp.asarray(X, dtype), jnp.asarray(y, dtype)
+
+    def logp(theta):
+        ell = jnp.exp(theta[:d])
+        var = jnp.exp(theta[d : d + nl + 1])
+        noise = jnp.exp(theta[-1])
+        kern = SignatureRBF(d, nl, lengthscales=1.0, order=1,
+                            normalization=True, dtype=dtype,
+                            engine="pallas")
+        kern = kern.replace(raw_lengthscales=pr.inv_positive(ell),
+                            raw_variances=pr.inv_positive(var))
+        m = GPR.create(kern, noise_variance=noise, dtype=dtype)
+        return m.log_marginal_likelihood(Xj, yj) - 0.5 * jnp.sum(
+            theta**2) / 4.0
+
+    dim = d + nl + 2
+    mesh = meshlib.make_mesh()
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (C, dim),
+                                     dtype)
+    sampler = make_chunked_sampler(
+        logp, mesh, num_warmup=WARM, num_samples=SAMP, max_depth=DEPTH,
+        draws_per_dispatch=BLK)
+    walls = {"warmup": [], "sampling": []}
+    last = [time.time()]
+
+    def on_chunk(phase, pos, total):
+        now = time.time()
+        walls[phase].append(now - last[0])
+        last[0] = now
+        print(f"  {phase} {pos}/{total}: chunk wall "
+              f"{walls[phase][-1]:.1f}s", flush=True)
+
+    t0 = time.time()
+    samples, info = sampler(jax.random.PRNGKey(0), theta0,
+                            on_chunk=on_chunk)
+    t_total = time.time() - t0
+    s = np.asarray(samples)
+    assert np.all(np.isfinite(s))
+
+    # First chunk of each phase carries that phase's compile; steady =
+    # median of the rest.
+    med_samp = float(np.median(walls["sampling"][1:]))
+    draws_s = C * BLK / med_samp
+    ess = effective_sample_size(s)  # [dim]
+    samp_steady = med_samp * len(walls["sampling"])
+    acc = float(np.asarray(info["accept_prob"]).mean())
+    div = float(np.asarray(info["diverging"]).mean())
+    leaves = np.asarray(info["num_leaves"], np.float64)  # [C, SAMP]
+
+    # Utilization of the on-device vmap block: useful/executed leapfrogs
+    # per transition for the actual 1x128 run and every hypothetical
+    # regrouping (leaf counts are grouping-independent).
+    util = {}
+    bsz = C
+    while bsz >= 1:
+        blocks = leaves.reshape(C // bsz, bsz, -1)
+        useful = blocks.sum(axis=1)
+        executed = bsz * blocks.max(axis=1)
+        util[f"{C//bsz}dev_x{bsz}"] = round(
+            float((useful / np.maximum(executed, 1)).mean()), 3)
+        bsz //= 2
+
+    print(f"nuts_scale: C={C} N={N} L={L} nl={nl} depth={DEPTH} "
+          f"warm+samp={WARM}+{SAMP} blk={BLK} engine=pallas")
+    print(f"  total wall {t_total:.1f}s; warmup chunks "
+          f"first {walls['warmup'][0]:.1f}s "
+          f"median {np.median(walls['warmup'][1:]):.1f}s; sampling "
+          f"first {walls['sampling'][0]:.1f}s median {med_samp:.1f}s")
+    print(f"  draws/s (steady) {draws_s:.1f}  accept {acc:.3f}  "
+          f"divergent {div:.3f}  leaves/draw {leaves.mean():.1f} "
+          f"(block max/transition {leaves.max(0).mean():.1f})")
+    print(f"  cross-chain ESS ({C}x{SAMP} draws): min {ess.min():.0f} "
+          f"med {np.median(ess):.0f} max {ess.max():.0f}; min ESS/s "
+          f"{ess.min()/samp_steady:.2f}")
+    print(f"  vmap-block utilization (measured leaves): {util}")
+
+
 if __name__ == "__main__":
     job = sys.argv[1] if len(sys.argv) > 1 else "fused_fwd"
     t0 = time.time()
@@ -902,5 +1005,6 @@ if __name__ == "__main__":
      "ho_gram_n800": job_ho_gram_n800,
      "ho_gram_grad": job_ho_gram_grad,
      "posterior": job_posterior,
-     "nuts_pallas": job_nuts_pallas}[job]()
+     "nuts_pallas": job_nuts_pallas,
+     "nuts_scale": job_nuts_scale}[job]()
     print(f"total {time.time()-t0:.1f} s")

@@ -182,6 +182,25 @@ def test_chunked_guards_and_empty_sampling(tmp_path):
         other(key, theta0, checkpoint_dir=cdir)
 
 
+def test_on_chunk_progress_callback():
+    """The chunked sampler reports host-side progress after every
+    materialized chunk — the timing/monitoring hook for long relayed
+    runs where a chunk is the dispatch unit."""
+    from gpsig_tpu.parallel.chains import make_chunked_sampler
+
+    logp, _ = _corr_gauss_logp()
+    mesh = meshlib.make_mesh(data=8, tile=1)
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(12), (8, 2))
+    s = make_chunked_sampler(logp, mesh, num_warmup=10, num_samples=5,
+                             max_depth=4, draws_per_dispatch=4)
+    events = []
+    s(jax.random.PRNGKey(13), theta0,
+      on_chunk=lambda ph, pos, tot: events.append((ph, pos, tot)))
+    assert events == [("warmup", 4, 10), ("warmup", 8, 10),
+                      ("warmup", 10, 10), ("sampling", 4, 5),
+                      ("sampling", 5, 5)]
+
+
 def test_nuts_logp_through_fused_engines():
     """VERDICT r3 #4: the fused Pallas engines compose with the NUTS
     leapfrog — engine='pallas' (interpret on CPU) logp + grad match the
