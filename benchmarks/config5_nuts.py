@@ -38,6 +38,12 @@ def main():
                         "loop over jitted chunks, bit-identical; required "
                         "on relayed TPUs where a monolithic run exceeds "
                         "the execution deadline — 25 is a good value)")
+    p.add_argument("--chain-blocks", type=int, default=1,
+                   help="run each device's chains as this many sequential "
+                        "vmap blocks: smaller blocks serialize on a "
+                        "shallower worst tree per transition (measured "
+                        "1.43x draws/s at 8x16 vs 1x128, "
+                        "chain_lever_sample.json)")
     args = p.parse_args()
     if args.fake_devices:
         args.cpu = True
@@ -89,6 +95,7 @@ def main():
         jax.random.PRNGKey(args.seed), logp, theta0, mesh,
         num_warmup=args.warmup, num_samples=args.samples, max_depth=6,
         draws_per_dispatch=args.draws_per_dispatch,
+        chain_blocks=args.chain_blocks,
     )
     jax.block_until_ready(samples)
     t_total = time.time() - t0
@@ -133,6 +140,7 @@ def main():
         mean_leaves=float(leaves.mean()),
         vmap_block_utilization=vmap_util,
         engine=args.engine,
+        chain_blocks=args.chain_blocks,
         posterior_mean_lengthscales=np.exp(
             s.reshape(-1, dim)[:, :d].mean(0)
         ).tolist(),

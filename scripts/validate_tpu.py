@@ -905,6 +905,9 @@ def job_nuts_scale():
     d, nl = 2, 4
     N, L = 100, 50
     C, WARM, SAMP, DEPTH, BLK = 128, 50, 50, 6, 2
+    # optional argv: chain_blocks (sequential vmap blocks per device —
+    # the worst-chain-serialization lever, A/B'd on-chip vs 1)
+    GROUPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     X, y = regression_sequences(seed=0, N=N, L=L, d=d)
     Xj, yj = jnp.asarray(X, dtype), jnp.asarray(y, dtype)
 
@@ -927,7 +930,7 @@ def job_nuts_scale():
                                      dtype)
     sampler = make_chunked_sampler(
         logp, mesh, num_warmup=WARM, num_samples=SAMP, max_depth=DEPTH,
-        draws_per_dispatch=BLK)
+        draws_per_dispatch=BLK, chain_blocks=GROUPS)
     walls = {"warmup": [], "sampling": []}
     last = [time.time()]
 
@@ -969,7 +972,8 @@ def job_nuts_scale():
         bsz //= 2
 
     print(f"nuts_scale: C={C} N={N} L={L} nl={nl} depth={DEPTH} "
-          f"warm+samp={WARM}+{SAMP} blk={BLK} engine=pallas")
+          f"warm+samp={WARM}+{SAMP} blk={BLK} chain_blocks={GROUPS} "
+          f"engine=pallas")
     print(f"  total wall {t_total:.1f}s; warmup chunks "
           f"first {walls['warmup'][0]:.1f}s "
           f"median {np.median(walls['warmup'][1:]):.1f}s; sampling "

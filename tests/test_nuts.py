@@ -182,6 +182,55 @@ def test_chunked_guards_and_empty_sampling(tmp_path):
         other(key, theta0, checkpoint_dir=cdir)
 
 
+def test_chain_blocks_grouping_invariance():
+    """chain_blocks only changes which chains share a vmap block's
+    while-loop synchronization (and, with shared step size, the pooling
+    set) — for independent chains (shared_step_size=False) any grouping
+    must be bit-identical to the single-block run."""
+    from gpsig_tpu.parallel.chains import make_chunked_sampler
+
+    logp, _ = _corr_gauss_logp()
+    mesh = meshlib.make_mesh(devices=jax.devices()[:1])
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(14), (8, 2))
+    key = jax.random.PRNGKey(15)
+    kw = dict(num_warmup=30, num_samples=20, max_depth=5,
+              draws_per_dispatch=12, shared_step_size=False)
+    ref_t, ref_i = make_chunked_sampler(logp, mesh, **kw)(key, theta0)
+    for g in (2, 4):
+        t, i = make_chunked_sampler(logp, mesh, chain_blocks=g, **kw)(
+            key, theta0)
+        np.testing.assert_array_equal(np.asarray(t), np.asarray(ref_t))
+        for k in ("step_size", "inv_mass", "accept_prob", "num_leaves"):
+            np.testing.assert_array_equal(
+                np.asarray(i[k]), np.asarray(ref_i[k]), err_msg=k)
+
+
+def test_chain_blocks_shared_stepsize_and_routing():
+    """With shared step size, chain_blocks pools dual averaging within
+    (block x mesh-axis): the run stays finite/sane, and run_chains_sharded
+    routes chain_blocks>1 through the chunked sampler on CPU (where the
+    default is otherwise monolithic). Also guards the divisibility check."""
+    from gpsig_tpu.parallel.chains import make_chunked_sampler
+
+    logp, cov = _corr_gauss_logp()
+    mesh = meshlib.make_mesh(data=8, tile=1)
+    C = 32
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(16), (C, 2))
+    theta, info = run_chains_sharded(
+        jax.random.PRNGKey(17), logp, theta0, mesh, num_warmup=150,
+        num_samples=150, max_depth=6, chain_blocks=2)
+    s = np.asarray(theta).reshape(-1, 2)
+    assert np.all(np.isfinite(s))
+    emp = np.cov(s.T)
+    np.testing.assert_allclose(emp, cov, atol=0.45)
+    assert info["accept_prob"].shape == (C, 150)
+
+    with pytest.raises(ValueError, match="chain_blocks"):
+        make_chunked_sampler(logp, mesh, num_warmup=4, num_samples=4,
+                             draws_per_dispatch=4, chain_blocks=3)(
+            jax.random.PRNGKey(0), theta0)
+
+
 def test_on_chunk_progress_callback():
     """The chunked sampler reports host-side progress after every
     materialized chunk — the timing/monitoring hook for long relayed
