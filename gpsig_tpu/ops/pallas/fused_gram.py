@@ -134,8 +134,17 @@ def _dmat(Lp, L, dtype):
     return (up - diag) * mask
 
 
+def _pipeline_enabled():
+    """Software-pipelined column loop (GPSIG_FUSED_PIPELINE=1): issue the
+    DP matmuls for column j, then build column j+2's base-kernel block
+    (VPU) *before* consuming the matmul results, so the VPU floor and the
+    MXU passes overlap instead of summing. Same math — the base-kernel
+    build depends only on the raw sequences, never on the DP state."""
+    return _os.environ.get("GPSIG_FUSED_PIPELINE", "0") == "1"
+
+
 def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx,
-                  sy, mxu):
+                  sy, mxu, pipeline=False):
     """x_ref: [1, Lp, d·bx] (packed X block, rows pre-padded to Lp);
     y_ref: [L, d, sy·128]; out_ref: [bx, _LEVROWS, sy·128].
 
@@ -221,6 +230,26 @@ def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx,
             C = C + jnp.concatenate(As[: nl - 1], axis=1)
         return Knext, C, Snl
 
+    def bodyp(jj, carry):
+        """Software-pipelined variant (see _pipeline_enabled): the carry
+        holds columns j and j+1; the DP matmuls for increment column j are
+        issued first and column j+2's base-kernel block is built while
+        they run — its only inputs are the raw sequences, so the VPU work
+        slots into the MXU shadow instead of serializing before it."""
+        Kprev, Kcur, C, Snl = carry
+        colD = Kcur - Kprev
+        Mcol = _mxu_dot(Dm, colD, mxu, "right").astype(dt)
+        if nl >= 2:
+            E = _mxu_dot(SL, C, mxu, "right").astype(dt)
+        Knext = kcol_stacked(jnp.minimum(jj + 2, L - 1))
+        As = [Mcol]
+        for m in range(2, nl + 1):
+            As.append(Mcol * E[:, (m - 2) * W : (m - 1) * W])
+        Snl = Snl + As[-1]
+        if nl >= 2:
+            C = C + jnp.concatenate(As[: nl - 1], axis=1)
+        return Kcur, Knext, C, Snl
+
     # manual 2× unroll (Mosaic's fori_loop supports only unroll∈{1, all}):
     # the second column's base-kernel build (VPU) is independent of the
     # first column's DP matmul (MXU), giving the scheduler overlap room.
@@ -228,10 +257,22 @@ def _fused_kernel(x_ref, y_ref, out_ref, *, L, d, num_levels, rbf, bx,
         carry = body(2 * jj2, carry)
         return body(2 * jj2 + 1, carry)
 
-    carry = jax.lax.fori_loop(0, (L - 1) // 2, body2, (K0, C0, Snl0))
-    if (L - 1) % 2:
-        carry = body(L - 2, carry)
-    _, C, Snl = carry
+    def bodyp2(jj2, carry):
+        carry = bodyp(2 * jj2, carry)
+        return bodyp(2 * jj2 + 1, carry)
+
+    if pipeline:
+        K1 = kcol_stacked(1) if L >= 2 else K0
+        carry = jax.lax.fori_loop(0, (L - 1) // 2, bodyp2,
+                                  (K0, K1, C0, Snl0))
+        if (L - 1) % 2:
+            carry = bodyp(L - 2, carry)
+        _, _, C, Snl = carry
+    else:
+        carry = jax.lax.fori_loop(0, (L - 1) // 2, body2, (K0, C0, Snl0))
+        if (L - 1) % 2:
+            carry = body(L - 2, carry)
+        _, C, Snl = carry
 
     def halfsums(A):
         """Row sums per sy-half: [Lq, W] -> [1, sy·W]."""
@@ -392,9 +433,12 @@ def fused_gram_levels(X, Y, num_levels, rbf=True, interpret=False, bx=8,
     return _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx, mxu)
 
 
-def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8, mxu=None):
+def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8, mxu=None,
+                    pipeline=None):
     if mxu is None:
         mxu = _default_mxu()
+    if pipeline is None:
+        pipeline = _pipeline_enabled()
     if num_levels + 1 > _LEVROWS:
         raise ValueError("fused kernel supports num_levels <= 7")
     N1, L, d = X.shape
@@ -423,7 +467,7 @@ def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8, mxu=None):
     out = pl.pallas_call(
         functools.partial(
             _fused_kernel, L=L, d=d, num_levels=num_levels, rbf=rbf, bx=bx,
-            sy=sy, mxu=mxu,
+            sy=sy, mxu=mxu, pipeline=pipeline,
         ),
         grid=(N1p // bx, N2p // (sy * _LANE)),
         in_specs=[

@@ -880,6 +880,55 @@ def job_nuts_pallas():
               f"leaves/draw {lv:.1f}")
 
 
+def job_fused_pipeline():
+    """A/B the software-pipelined fused-Gram column loop
+    (GPSIG_FUSED_PIPELINE / _fused_fwd_impl(pipeline=)): DP matmuls for
+    column j are issued before column j+2's base-kernel build so the VPU
+    floor and the MXU passes can overlap instead of summing (PERF.md
+    round-2 roofline: 1.74 ms VPU floor + ~0.71 ms/level 'split' passes
+    add up today — perfect overlap would cap nl=4 at ~max(floor, passes)).
+    Math identical; parity checked on-chip first."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops.pallas import fused_gram as fg
+
+    N, L, d = 256, 50, 2
+    rng = np.random.default_rng(0)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    a = np.asarray(fg._fused_fwd_impl(X, X, 4, True, False, 8, "split",
+                                      pipeline=True))
+    b = np.asarray(fg._fused_fwd_impl(X, X, 4, True, False, 8, "split",
+                                      pipeline=False))
+    err = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9)
+    print(f"fused_pipeline parity (pipe vs plain, split): {err:.2e}",
+          flush=True)
+
+    R = 32
+    for label, rbf, nl, mxu in [
+        ("rbf nl=4 split", True, 4, "split"),
+        ("rbf nl=1 split", True, 1, "split"),
+        ("rbf nl=7 split", True, 7, "split"),
+        ("rbf nl=4 default", True, 4, "default"),
+    ]:
+        row = []
+        for pipe in (False, True):
+            fn = jax.jit(
+                lambda x, s, rbf=rbf, nl=nl, mxu=mxu, pipe=pipe:
+                jax.lax.scan(
+                    lambda c, e: (c, jnp.sum(fg._fused_fwd_impl(
+                        x * (1 + e), x, nl, rbf, False, 8, mxu,
+                        pipeline=pipe))),
+                    0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
+            np.asarray(fn(X, jnp.float32(0)))
+            t = _median_time(
+                lambda i, fn=fn: np.asarray(fn(X, jnp.float32(i))))
+            row.append(t / R)
+        print(f"pipeline {label}: plain {row[0]*1e3:.2f} ms -> pipelined "
+              f"{row[1]*1e3:.2f} ms ({row[0]/row[1]:.2f}x, "
+              f"{R*N*N/(row[1]*R)/1e6:.1f}M entries/s)", flush=True)
+
+
 def job_nuts_scale():
     """VERDICT r3 #3: BASELINE config 5 at its prescribed scale on the
     chip — 128 chains, config-1-like data (N=100, L=50, d=2, nl=4),
@@ -1010,5 +1059,6 @@ if __name__ == "__main__":
      "ho_gram_grad": job_ho_gram_grad,
      "posterior": job_posterior,
      "nuts_pallas": job_nuts_pallas,
-     "nuts_scale": job_nuts_scale}[job]()
+     "nuts_scale": job_nuts_scale,
+     "fused_pipeline": job_fused_pipeline}[job]()
     print(f"total {time.time()-t0:.1f} s")

@@ -109,6 +109,37 @@ def test_fused_gram_matches_xla(rbf, nl):
     )
 
 
+@pytest.mark.parametrize("rbf", [True, False])
+@pytest.mark.parametrize("nl", [1, 4, 7])
+def test_fused_gram_pipelined_matches_plain(rbf, nl):
+    """The software-pipelined column loop (DP matmuls issued before the
+    next column's base-kernel build so VPU and MXU work can overlap;
+    GPSIG_FUSED_PIPELINE) computes exactly the same per-column math —
+    parity vs the plain loop and the XLA reference, including odd L
+    (ragged final column) and the L-1 clamp on the lookahead column."""
+    from gpsig_tpu.ops.pallas import fused_gram as fg
+
+    rng = np.random.default_rng(11)
+    for L in (2, 9, 12):
+        X = jnp.asarray(
+            (0.3 * rng.standard_normal((3, L, 2))).cumsum(1), jnp.float32
+        )
+        Y = jnp.asarray(
+            (0.3 * rng.standard_normal((5, L, 2))).cumsum(1), jnp.float32
+        )
+        pipe = fg._fused_fwd_impl(X, Y, nl, rbf, True, 8, "highest",
+                                  pipeline=True)
+        plain = fg._fused_fwd_impl(X, Y, nl, rbf, True, 8, "highest",
+                                   pipeline=False)
+        np.testing.assert_allclose(
+            np.asarray(pipe), np.asarray(plain), rtol=1e-6, atol=1e-7
+        )
+        want = fg._xla_reference(X, Y, nl, rbf)
+        np.testing.assert_allclose(
+            np.asarray(pipe), np.asarray(want), rtol=2e-4, atol=1e-5
+        )
+
+
 @pytest.mark.parametrize("mxu", ["split", "default"])
 def test_fused_gram_mxu_modes(mxu):
     """The split-bf16 MXU mode (a = hi + lo, two 1-pass matmuls against
