@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from gpsig_tpu.parallel.mesh import shard_map
 from jax.sharding import PartitionSpec as P
 
 from gpsig_tpu.mcmc.nuts import NutsState, nuts_kernel

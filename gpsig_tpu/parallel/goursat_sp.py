@@ -22,7 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from gpsig_tpu.parallel.mesh import shard_map
 from jax.sharding import PartitionSpec as P
 
 from gpsig_tpu.parallel.mesh import DATA_AXIS

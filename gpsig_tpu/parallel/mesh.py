@@ -26,6 +26,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 TILE_AXIS = "tile"
 
+try:  # jax >= 0.8: top-level shard_map, and check_rep renamed check_vma
+    import inspect as _inspect
+
+    from jax import shard_map as _shard_map_impl
+
+    _SM_PARAMS = frozenset(
+        _inspect.signature(_shard_map_impl).parameters
+    )
+
+    def shard_map(f, **kw):
+        """jax.shard_map with the legacy ``check_rep`` kwarg accepted."""
+        if "check_rep" in kw and "check_rep" not in _SM_PARAMS:
+            kw["check_vma"] = kw.pop("check_rep")
+        return _shard_map_impl(f, **kw)
+
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map  # noqa: F401
+
 
 def make_mesh(data=None, tile=1, devices=None):
     """Build a (data, tile) mesh. Defaults: all devices on ``data``."""

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from gpsig_tpu.parallel.mesh import shard_map
 
 from gpsig_tpu.parallel.mesh import DATA_AXIS, TILE_AXIS
 from gpsig_tpu.training.loop import TrainState
