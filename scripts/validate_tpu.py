@@ -880,6 +880,93 @@ def job_nuts_pallas():
               f"leaves/draw {lv:.1f}")
 
 
+def job_ho_gram_n800_grad():
+    """Training-scale proof of the fused HO backward: jitted fwd+grad of
+    an order-2 N=800 Gram on one chip — the configuration whose XLA-path
+    vjp would materialise the [N², L, L] increments (51 GB, OOM). Finite
+    gradients + compute wall; parity for this kernel is pinned at N=256
+    (ho_gram_grad) and in interpret mode."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops.pallas import fused_gram_ho as fho
+
+    N, L, d, nl, order = 800, 50, 2, 4, 2
+    rng = np.random.default_rng(0)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    Y = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+
+    def loss(X, Y):
+        lv = fho.fused_gram_ho_levels(X, Y, nl, order, "rbf", True,
+                                      mxu="split")
+        return jnp.sum(lv * (1.0 + 0.1 * lv))
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    gx, gy = g(X, Y)
+    gx, gy = np.asarray(gx), np.asarray(gy)
+    assert np.all(np.isfinite(gx)) and np.all(np.isfinite(gy))
+    t = _median_time(
+        lambda i: np.asarray(g(X * (1 + 1e-4 * i), Y)[0]))
+    print(f"ho_gram_n800_grad: order-2 N=800 fwd+grad finite "
+          f"(|X̄|max {np.max(np.abs(gx)):.3g}); {t*1e3:.1f} ms/call "
+          f"incl. [800,50,2] fetch")
+
+
+def job_ho_gram_kinds():
+    """The general fused engine's full option surface on real hardware:
+    Linear / Cosine / Poly (offset folded as a constant channel) base
+    kernels and difference=False — parity vs the XLA reference + ms/gram
+    at N=256 (interpret-mode parity already pins these on CPU; this run
+    proves the Mosaic compilation path for each variant)."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops.pallas import fused_gram_ho as fho
+
+    N, L, d, nl, order = 256, 50, 2, 4, 2
+    R = 16
+    rng = np.random.default_rng(0)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    Y = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    ones = jnp.ones((N, L, 1), jnp.float32)
+    Xp = jnp.concatenate([X, ones], -1)  # poly: x offset channel = 1
+    Yp = jnp.concatenate([Y, 1.2 * ones], -1)  # y offset channel = offset
+
+    for label, xa, ya, kind, diff in [
+        ("linear diff=T", X, Y, "linear", True),
+        ("cosine diff=T", X, Y, "cosine", True),
+        ("poly3 diff=T", Xp, Yp, "poly3", True),
+        ("rbf diff=F", X, Y, "rbf", False),
+    ]:
+        got = np.asarray(fho.fused_gram_ho_levels(
+            xa, ya, nl, order, kind, diff, mxu="split"))
+        want = np.asarray(fho._xla_reference_ho(
+            xa, ya, nl, order, kind, diff))
+        err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+        assert np.all(np.isfinite(got))
+
+        @jax.jit
+        def grams(xv, seed, ya=ya, kind=kind, diff=diff):
+            eps = 1e-4 * (seed + jnp.arange(R, dtype=xv.dtype))
+
+            def body(c, e):
+                out = fho.fused_gram_ho_levels(
+                    xv * (1.0 + e), ya, nl, order, kind, diff,
+                    mxu="split")
+                return c, jnp.sum(out)
+
+            return jax.lax.scan(body, 0.0, eps)[1]
+
+        np.asarray(grams(xa, jnp.float32(0)))
+        t = _median_time(
+            lambda i, xa=xa: np.asarray(grams(xa, jnp.float32(i)))) / R
+        print(f"ho_kinds {label} order={order}: parity {err:.2e}  "
+              f"{t*1e3:.2f} ms/gram ({N*N/t/1e6:.1f}M entries/s)",
+              flush=True)
+
+
 def job_fused_pipeline():
     """A/B the software-pipelined fused-Gram column loop
     (GPSIG_FUSED_PIPELINE / _fused_fwd_impl(pipeline=)): DP matmuls for
@@ -1060,5 +1147,7 @@ if __name__ == "__main__":
      "posterior": job_posterior,
      "nuts_pallas": job_nuts_pallas,
      "nuts_scale": job_nuts_scale,
-     "fused_pipeline": job_fused_pipeline}[job]()
+     "fused_pipeline": job_fused_pipeline,
+     "ho_gram_kinds": job_ho_gram_kinds,
+     "ho_gram_n800_grad": job_ho_gram_n800_grad}[job]()
     print(f"total {time.time()-t0:.1f} s")
