@@ -880,6 +880,45 @@ def job_nuts_pallas():
               f"leaves/draw {lv:.1f}")
 
 
+def job_lags_pallas():
+    """num_lags × fused engines on real hardware (VERDICT r3 #6 was
+    interpret-only): SignatureRBF(num_lags=1) K + lag/gamma gradients,
+    engine='pallas' vs 'xla' on-chip, order 1 (tuned kernel, d·2 channels)
+    and order 2 (general kernel)."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.kernels.signature import SignatureRBF
+
+    N, L, d = 128, 50, 2
+    rng = np.random.default_rng(0)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+
+    for order in (1, 2):
+        kx = SignatureRBF(d, 4, lengthscales=1.0, order=order,
+                          normalization=True, num_lags=1,
+                          dtype=jnp.float32, engine="xla")
+        kp = kx.replace(engine="pallas")
+        Kx = np.asarray(jax.jit(lambda k: k.K(X))(kx))
+        Kp = np.asarray(jax.jit(lambda k: k.K(X))(kp))
+        err = np.max(np.abs(Kp - Kx)) / (np.max(np.abs(Kx)) + 1e-9)
+
+        def loss(kern):
+            return jnp.sum(kern.K(X) ** 2)
+
+        gx = jax.jit(jax.grad(loss))(kx)
+        gp = jax.jit(jax.grad(loss))(kp)
+        gerr = {}
+        for name in ("raw_lags", "raw_gamma", "raw_lengthscales"):
+            a = np.asarray(getattr(gx, name))
+            b = np.asarray(getattr(gp, name))
+            gerr[name] = float(
+                np.max(np.abs(b - a)) / (np.max(np.abs(a)) + 1e-9))
+        print(f"lags_pallas order={order}: K parity {err:.2e}; grad "
+              f"parity {gerr}", flush=True)
+        assert err < 5e-4 and all(v < 5e-3 for v in gerr.values())
+
+
 def job_ho_gram_n800_grad():
     """Training-scale proof of the fused HO backward: jitted fwd+grad of
     an order-2 N=800 Gram on one chip — the configuration whose XLA-path
@@ -1149,5 +1188,6 @@ if __name__ == "__main__":
      "nuts_scale": job_nuts_scale,
      "fused_pipeline": job_fused_pipeline,
      "ho_gram_kinds": job_ho_gram_kinds,
-     "ho_gram_n800_grad": job_ho_gram_n800_grad}[job]()
+     "ho_gram_n800_grad": job_ho_gram_n800_grad,
+     "lags_pallas": job_lags_pallas}[job]()
     print(f"total {time.time()-t0:.1f} s")
