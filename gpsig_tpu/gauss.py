@@ -120,6 +120,13 @@ def C_logdiag_sum(L):
     return jnp.sum(jnp.log(jnp.abs(d)))
 
 
+def _conditional_var_floor(dtype):
+    """Positive floor for marginal conditional variances (see the note in
+    ``conditional``): far below any exact-kernel variance (jitter scale),
+    high enough that sqrt/log stay finite."""
+    return 1e-14 if jnp.dtype(dtype) == jnp.float64 else 1e-8
+
+
 @precise_linalg
 def conditional(
     Kmn,
@@ -162,4 +169,16 @@ def conditional(
     reduce_ = jnp.sum(Aw**2, axis=0)  # diag(Knm K⁻¹ Kmn), [N]
     extra = jnp.sum(SA**2, axis=1)  # [C, N]
     var = Knn[None, :] - reduce_[None, :] + extra  # [C, N]
+    # Graceful degradation for APPROXIMATE kernels: the finite-difference
+    # PDE Gram (kernels/pde.py) is only approximately PSD across (Z, X)
+    # *jointly* — K_sym_psd guards Kuu, but Knn − diag(AᵀA) can still go
+    # negative (measured −9.3 at dyadic_order=1 on rough paths). Whitened
+    # init (S=I) cancels the A terms exactly, so the violation surfaces
+    # only once q_sqrt moves — a NaN on training step 2. Floor the
+    # marginal variance at a dtype-tiny positive value so the likelihood
+    # quadrature's sqrt/log degrade gracefully instead of NaN; exact
+    # kernels sit orders of magnitude above the floor (jitter scale), so
+    # this is inert for them. Refinement (dyadic_order) shrinks the
+    # violation ~10× per order; the floor is the safety net, not the fix.
+    var = jnp.maximum(var, _conditional_var_floor(var.dtype))
     return mean, var.T  # [N, C]

@@ -86,6 +86,69 @@ def test_svgp_with_pde_kernel():
     assert np.all(np.isfinite(np.asarray(g.kernel.raw_lengthscales)))
 
 
+def test_pde_kernel_training_survives_joint_psd_violation():
+    """The FD (Goursat) Gram is only approximately PSD across (Z, X)
+    jointly: K_sym_psd fixes Kuu, but Knn − diag(AᵀA) went −9.3 at
+    dyadic_order=1 on rough paths — invisible at whitened init (S = I
+    cancels the A terms) and a NaN on training step 2 once q_sqrt moved.
+    The conditional's variance floor (gauss.py) must keep multi-step
+    natgrad+Adam training finite on exactly that recipe, in float32."""
+    from gpsig_tpu.data.synthetic import classification_sequences
+    from gpsig_tpu.kernels.pde import UntruncatedSignatureKernel
+
+    X, y = classification_sequences(seed=0, N=24, L=10, d=2,
+                                    num_classes=2)
+    Xj = jnp.asarray(X, jnp.float32)
+    yj = jnp.asarray(y)
+    kern = UntruncatedSignatureKernel.create(
+        2, lengthscales=1.5, normalization=True, dyadic_order=1,
+        dtype=jnp.float32)
+    feat = make_inducing_sequences_from_data(
+        jax.random.PRNGKey(0), Xj, 6, 4, 2)
+    model = SVGP.create(kern, liks.MultiClass(num_classes=2), feat,
+                        num_latent=2, dtype=jnp.float32)
+    opt = optax.adam(2e-3)
+    step = make_step_fn(opt, num_data=24, gamma=0.05, use_natgrad=True)
+    state = init_state(model, opt)
+    es = []
+    for i in range(4):
+        state, e = step(state, Xj, yj, jax.random.PRNGKey(i))
+        es.append(float(e))
+    assert np.all(np.isfinite(es)), es
+    fm, fv = state.model.predict_f(Xj)
+    assert np.all(np.isfinite(np.asarray(fm)))
+    assert np.all(np.asarray(fv) > 0)
+
+
+def test_conditional_var_floor_inert_for_exact_kernels():
+    """The variance floor must not perturb exact-kernel conditionals: a
+    well-posed PSD system's variances sit at jitter scale or above, so
+    conditional() output matches the direct formula to full precision."""
+    from gpsig_tpu import gauss
+
+    rng = np.random.default_rng(0)
+    M, N, C = 5, 7, 2
+    Z = rng.standard_normal((M, 3))
+    Xs = rng.standard_normal((N, 3))
+    k = lambda a, b: np.exp(-0.5 * ((a[:, None] - b[None]) ** 2).sum(-1))
+    Kmm = k(Z, Z) + 1e-8 * np.eye(M)
+    Kmn = k(Z, Xs)
+    Knn = np.ones(N)
+    q_mu = 0.3 * rng.standard_normal((M, C))
+    q_sqrt = np.tril(0.2 * rng.standard_normal((C, M, M))) + np.eye(M)
+    mean, var = gauss.conditional(
+        jnp.asarray(Kmn), jnp.asarray(Kmm), jnp.asarray(Knn),
+        jnp.asarray(q_mu), jnp.asarray(q_sqrt), white=True)
+    L = np.linalg.cholesky(Kmm)
+    A = np.linalg.solve(L, Kmn)
+    want_var = np.stack([
+        Knn - (A**2).sum(0) + (np.einsum("mk,kn->mn", q_sqrt[c].T, A) ** 2
+                               ).sum(0)
+        for c in range(C)
+    ], 1)
+    np.testing.assert_allclose(np.asarray(var), want_var, rtol=1e-10)
+
+
 def test_map_prior_regularises():
     rng = np.random.default_rng(4)
     X, y, model = _setup(rng)
