@@ -73,22 +73,20 @@ def float_only_optimizer(inner, model):
     )
 
 
-def make_step_fn(
+def _build_step_body(
     optimizer: optax.GradientTransformation,
     num_data: int,
-    gamma: float = 0.1,
-    use_natgrad: bool = True,
-    freeze_variational_in_adam: bool | None = None,
-    log_prior_fn: Callable | None = None,
+    gamma: float,
+    use_natgrad: bool,
+    freeze_variational_in_adam: bool | None,
+    log_prior_fn: Callable | None,
 ):
-    """Build a jitted (state, X, Y, key) -> (state, elbo) training step.
-
-    log_prior_fn(model) -> scalar log-prior over hyperparameters enables
-    MAP training (the GPflow ``Parameter.prior`` role)."""
+    """The unjitted (state, X, Y, key) -> (state, elbo) step body shared
+    by ``make_step_fn`` (one jitted step) and ``make_multi_step_fn``
+    (k steps scanned inside one dispatch)."""
     if freeze_variational_in_adam is None:
         freeze_variational_in_adam = use_natgrad
 
-    @jax.jit
     def step(state: TrainState, X, Y, key):
         model = state.model
         if use_natgrad:
@@ -112,6 +110,57 @@ def make_step_fn(
         return TrainState(model, opt_state, state.step + 1), -loss
 
     return step
+
+
+def make_step_fn(
+    optimizer: optax.GradientTransformation,
+    num_data: int,
+    gamma: float = 0.1,
+    use_natgrad: bool = True,
+    freeze_variational_in_adam: bool | None = None,
+    log_prior_fn: Callable | None = None,
+):
+    """Build a jitted (state, X, Y, key) -> (state, elbo) training step.
+
+    log_prior_fn(model) -> scalar log-prior over hyperparameters enables
+    MAP training (the GPflow ``Parameter.prior`` role)."""
+    return jax.jit(_build_step_body(
+        optimizer, num_data, gamma, use_natgrad,
+        freeze_variational_in_adam, log_prior_fn))
+
+
+def make_multi_step_fn(
+    optimizer: optax.GradientTransformation,
+    num_data: int,
+    gamma: float = 0.1,
+    use_natgrad: bool = True,
+    freeze_variational_in_adam: bool | None = None,
+    log_prior_fn: Callable | None = None,
+):
+    """Jitted (state, Xb [k,B,...], Yb [k,B], keys [k,2]) ->
+    (state, elbos [k]): k minibatch steps scanned INSIDE one dispatch.
+
+    Host-dispatch amortization: each single-step dispatch pays the host
+    round trip (through the axon relay a ~29 ms floor — larger than the
+    flagship step's compute), so per-step host loops measure the
+    dispatch path, not the math. Scanning k pre-batched steps device-side
+    is the standard jit-the-epoch pattern; identical math to k calls of
+    ``make_step_fn`` with the same batches/keys (pinned by
+    ``test_multi_step_matches_single_steps``). k is static per compile
+    (one trace per distinct k)."""
+    body = _build_step_body(
+        optimizer, num_data, gamma, use_natgrad,
+        freeze_variational_in_adam, log_prior_fn)
+
+    @jax.jit
+    def multi(state: TrainState, Xb, Yb, keys):
+        def scan_body(st, args):
+            X, Y, k = args
+            return body(st, X, Y, k)
+
+        return jax.lax.scan(scan_body, state, (Xb, Yb, keys))
+
+    return multi
 
 
 def init_state(model, optimizer):

@@ -880,6 +880,99 @@ def job_nuts_pallas():
               f"leaves/draw {lv:.1f}")
 
 
+def job_flagship_scan():
+    """Host-dispatch amortization at the flagship training shape
+    (M=500 inducing tensors, nl=5, C=10, B=50): the per-step host loop
+    pays the axon relay's ~29 ms round trip per step, so the recorded
+    29.8 steps/s is dispatch-bound, not compute-bound. make_multi_step_fn
+    scans k pre-batched steps inside ONE dispatch (identical math,
+    test_multi_step_matches_single_steps) — this measures the machine's
+    actual step rate."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from gpsig_tpu import likelihoods as liks
+    from gpsig_tpu.data.synthetic import classification_sequences
+    from gpsig_tpu.inducing import make_inducing_tensors_from_data
+    from gpsig_tpu.models.svgp import SVGP
+    from gpsig_tpu.kernels.signature import SignatureRBF
+    from gpsig_tpu.training.loop import (init_state, make_multi_step_fn,
+                                         make_step_fn)
+
+    dtype = jnp.float32
+    N, L, d, nl, M, C, B = 840, 50, 2, 5, 500, 10, 50
+    X, y = classification_sequences(seed=0, N=N, L=L, d=d, num_classes=C)
+    Xj, yj = jnp.asarray(X, dtype), jnp.asarray(y)
+    kern = SignatureRBF(d, nl, lengthscales=1.0, order=1,
+                        normalization=True, dtype=dtype)
+    feat = make_inducing_tensors_from_data(
+        jax.random.PRNGKey(0), Xj, num_tensors=M, num_levels=nl,
+        num_features=d, increments=True)
+    model = SVGP.create(kern, liks.MultiClass(num_classes=C),
+                        feat, num_latent=C, dtype=dtype)
+    opt = optax.adam(2e-3)
+    kw = dict(num_data=N, gamma=0.05, use_natgrad=True)
+    rng = np.random.default_rng(0)
+
+    def batches(k, seed):
+        idx = np.stack([rng.choice(N, B, replace=False)
+                        for _ in range(k)])
+        Xb = jnp.stack([Xj[i] for i in idx])
+        Yb = jnp.stack([yj[i] for i in idx])
+        keys = jax.random.split(jax.random.PRNGKey(seed), k)
+        return Xb, Yb, keys
+
+    # host loop, synced EVERY step (float(elbo) per iteration): through
+    # the relay a per-step sync materializes the dispatch's outputs, so
+    # this is the worst case (a logging-per-step loop)
+    step = make_step_fn(opt, **kw)
+    st = init_state(model, opt)
+    Xb, Yb, keys = batches(1, 0)
+    st, e = step(st, Xb[0], Yb[0], keys[0])
+    jax.block_until_ready(e)
+    n1 = 10
+    t0 = time.time()
+    for i in range(n1):
+        Xb, Yb, keys = batches(1, i + 1)
+        st, e = step(st, Xb[0], Yb[0], keys[0])
+        e = float(e)
+    t_sync = time.time() - t0
+    print(f"flagship host loop, sync each step: {n1/t_sync:.1f} steps/s "
+          f"({t_sync/n1*1e3:.1f} ms/step)", flush=True)
+
+    # host loop, async (fit()'s protocol: dispatch ahead, sync at the
+    # end — the config-2 measurement mode)
+    n2 = 30
+    bs = [batches(1, 100 + i) for i in range(n2)]
+    t0 = time.time()
+    for Xb, Yb, keys in bs:
+        st, e = step(st, Xb[0], Yb[0], keys[0])
+    e = float(e)
+    t_async = time.time() - t0
+    print(f"flagship host loop, async (sync at end): "
+          f"{n2/t_async:.1f} steps/s ({t_async/n2*1e3:.1f} ms/step)",
+          flush=True)
+
+    for k in (8, 32):
+        multi = make_multi_step_fn(opt, **kw)
+        st = init_state(model, opt)
+        Xb, Yb, keys = batches(k, 100)
+        st, es = multi(st, Xb, Yb, keys)
+        jax.block_until_ready(es)
+        ts = []
+        for i in range(3):
+            Xb, Yb, keys = batches(k, 200 + i)
+            t0 = time.time()
+            st, es = multi(st, Xb, Yb, keys)
+            es = np.asarray(es)
+            ts.append(time.time() - t0)
+        assert np.all(np.isfinite(es))
+        t_med = sorted(ts)[1]
+        print(f"flagship scan k={k}: {k/t_med:.1f} steps/s "
+              f"({t_med/k*1e3:.2f} ms/step device-side; last elbo "
+              f"{es[-1]:.1f})", flush=True)
+
+
 def job_pde_train():
     """SigGPDE end-to-end on-chip: SVGP classification with the
     UNTRUNCATED (Goursat PDE) kernel + inducing sequences, natgrad+Adam —
@@ -1249,5 +1342,6 @@ if __name__ == "__main__":
      "ho_gram_kinds": job_ho_gram_kinds,
      "ho_gram_n800_grad": job_ho_gram_n800_grad,
      "lags_pallas": job_lags_pallas,
-     "pde_train": job_pde_train}[job]()
+     "pde_train": job_pde_train,
+     "flagship_scan": job_flagship_scan}[job]()
     print(f"total {time.time()-t0:.1f} s")

@@ -86,6 +86,41 @@ def test_svgp_with_pde_kernel():
     assert np.all(np.isfinite(np.asarray(g.kernel.raw_lengthscales)))
 
 
+def test_multi_step_matches_single_steps():
+    """make_multi_step_fn scans k steps inside one dispatch (host-dispatch
+    amortization); with the same batches/keys it must equal k sequential
+    make_step_fn calls exactly — same trace, same math."""
+    from gpsig_tpu.training.loop import make_multi_step_fn
+
+    rng = np.random.default_rng(7)
+    X, y, model = _setup(rng)
+    opt = optax.adam(1e-2)
+    kw = dict(num_data=X.shape[0], gamma=0.1, use_natgrad=True)
+    step = make_step_fn(opt, **kw)
+    multi = make_multi_step_fn(opt, **kw)
+
+    k = 3
+    idx = [rng.choice(X.shape[0], 8, replace=False) for _ in range(k)]
+    Xb = jnp.stack([X[i] for i in idx])
+    Yb = jnp.stack([y[i] for i in idx])
+    keys = jax.random.split(jax.random.PRNGKey(5), k)
+
+    st = init_state(model, opt)
+    es = []
+    for j in range(k):
+        st, e = step(st, Xb[j], Yb[j], keys[j])
+        es.append(float(e))
+    st_m, es_m = multi(init_state(model, opt), Xb, Yb, keys)
+
+    np.testing.assert_allclose(np.asarray(es_m), np.asarray(es),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st.model),
+                    jax.tree_util.tree_leaves(st_m.model)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-8)
+    assert int(st_m.step) == k
+
+
 def test_pde_kernel_training_survives_joint_psd_violation():
     """The FD (Goursat) Gram is only approximately PSD across (Z, X)
     jointly: K_sym_psd fixes Kuu, but Knn − diag(AᵀA) went −9.3 at
