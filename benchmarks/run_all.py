@@ -51,10 +51,26 @@ VOSF_PROTOCOL = dict(variant="vosf", num_levels=6, batch=50, iters=2000,
 LOWRANK_PROTOCOL = dict(variant="lowrank", num_components=64, num_levels=4,
                         num_sequences=64, seq_len=10, batch=50, iters=1500,
                         learning_rate=1e-2, gamma=0.1, seed=0)
+# SigGPDE end-to-end guard (VERDICT r4 weak #3): untruncated (Goursat FD)
+# kernel + inducing sequences, natgrad+Adam — a quality regression in the
+# wavefront solver, the PSD projection, or the variance floor fails this
+# window, not just unit tests. Protocol mirrors the on-chip pde_train job
+# (scripts/validate_tpu.py) at window-calibration scale.
+PDE_PROTOCOL = dict(variant="pde", num_levels=0, dyadic_order=1,
+                    num_sequences=32, seq_len=8, batch=30, iters=800,
+                    learning_rate=5e-3, gamma=0.05, seed=0)
+# The actual SigGPDE headline model (VERDICT r4 missing #1): VOSF
+# orthogonal features UNDER the untruncated PDE prior — Kuu = I, Kuf =
+# rescaled signature coordinates, Knn = PDE kernel diag; the truncation
+# gap is real prior mass handled by the floored conditional.
+VOSFPDE_PROTOCOL = dict(variant="vosfpde", num_levels=4, dyadic_order=1,
+                        batch=50, iters=1000, learning_rate=1e-2,
+                        gamma=0.1, seed=0)
 # CharTraj for the low-rank guard: 300 test points give a usable floor
 # (0.38 vs ~0.17 chance); BasicMotions' 40 points spread too wide (its
 # window stays committed but out of the default suite).
-VARIANT_SUITE = ["SynthGunPoint@vosf", "SynthCharTraj@lowrank"]
+VARIANT_SUITE = ["SynthGunPoint@vosf", "SynthCharTraj@lowrank",
+                 "SynthERing@pde", "SynthGunPoint@vosfpde"]
 
 
 def _build_model(name, variant, protocol, Xtr_j, d, C, dtype):
@@ -76,6 +92,27 @@ def _build_model(name, variant, protocol, Xtr_j, d, C, dtype):
             d, nl, lengthscales=float(np.sqrt(d)), normalization=True,
             dtype=dtype)
         feat = OrthogonalSignatureFeatures.for_kernel(kern)
+        return SVGP.create(kern, liks.MultiClass(num_classes=C), feat,
+                           num_latent=C, q_diag=True, dtype=dtype)
+    if variant == "pde":
+        from gpsig_tpu.inducing import make_inducing_sequences_from_data
+        from gpsig_tpu.kernels.pde import UntruncatedSignatureKernel
+
+        kern = UntruncatedSignatureKernel.create(
+            d, lengthscales=float(np.sqrt(d)), normalization=True,
+            dyadic_order=protocol["dyadic_order"], dtype=dtype)
+        feat = make_inducing_sequences_from_data(
+            key, Xtr_j, protocol["num_sequences"], protocol["seq_len"], d)
+        return SVGP.create(kern, liks.MultiClass(num_classes=C), feat,
+                           num_latent=C, dtype=dtype)
+    if variant == "vosfpde":
+        from gpsig_tpu.kernels.pde import UntruncatedSignatureKernel
+        from gpsig_tpu.kernels.vosf import OrthogonalSignatureFeatures
+
+        kern = UntruncatedSignatureKernel.create(
+            d, lengthscales=float(np.sqrt(d)), normalization=True,
+            dyadic_order=protocol["dyadic_order"], dtype=dtype)
+        feat = OrthogonalSignatureFeatures.for_kernel(kern, num_levels=nl)
         return SVGP.create(kern, liks.MultiClass(num_classes=C), feat,
                            num_latent=C, q_diag=True, dtype=dtype)
     if variant == "lowrank":
@@ -115,7 +152,8 @@ def split_variant(name):
     if "@" not in name:
         return name, "svgp", PROTOCOL
     base, variant = name.split("@", 1)
-    proto = {"vosf": VOSF_PROTOCOL, "lowrank": LOWRANK_PROTOCOL}[variant]
+    proto = {"vosf": VOSF_PROTOCOL, "lowrank": LOWRANK_PROTOCOL,
+             "pde": PDE_PROTOCOL, "vosfpde": VOSFPDE_PROTOCOL}[variant]
     return base, variant, proto
 
 

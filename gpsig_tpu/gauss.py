@@ -127,6 +127,50 @@ def _conditional_var_floor(dtype):
     return 1e-14 if jnp.dtype(dtype) == jnp.float64 else 1e-8
 
 
+def floor_marginal_variance(var, scale=None):
+    """Clamp marginal predictive variances at a dtype-tiny positive floor.
+
+    Every marginal (``full_cov=False``) conditional path must route through
+    this helper — ``gauss.conditional``, ``SVGP._identity_conditional`` and
+    ``Posterior.predict_f`` all compute ``Knn − reduce (+ extra)`` by
+    subtraction, and two model families make that difference structurally
+    fragile:
+
+    * **approximate kernels** — the finite-difference PDE Gram
+      (``kernels/pde.py``) is only approximately PSD across (Z, X) jointly,
+      so ``Knn − diag(AᵀA)`` can go slightly negative (measured −9.3 at
+      dyadic_order=1 on rough paths);
+    * **exact-cancellation features** — the VOSF identity path has
+      ``Knn ≡ Σ Kuf²`` analytically, so the subtraction is pure rounding
+      noise around zero.
+
+    Exact kernels sit orders of magnitude above the floor (jitter scale),
+    so the clamp is inert for them (regression-tested).
+
+    ``scale`` (optional): the prior marginals ``Knn`` (or any array whose
+    magnitude tracks the kernel amplitude). When given, the floor is
+    *relative* — ``base_floor · max|scale|`` — so a kernel with very small
+    signal variance (Knn at or below the absolute floor) is not silently
+    perturbed, and the floor grows with large-amplitude kernels instead of
+    hiding genuine PSD violations under a fixed 1e-8 (advisor r4). A
+    ``8·finfo.tiny`` absolute lower bound keeps sqrt/log finite even for
+    degenerate all-zero scales.
+
+    ``full_cov=True`` policy: full covariance **matrices** are NOT floored —
+    a diagonal clamp cannot restore PSD-ness of a matrix, and the eigen
+    projection that could is O(N³) per batch. Full-covariance prediction is
+    therefore supported for exact kernels only; approximate-kernel and
+    identity-feature users should predict marginals (the likelihood layer
+    only consumes marginals anyway).
+    """
+    floor = jnp.asarray(_conditional_var_floor(var.dtype), var.dtype)
+    if scale is not None:
+        amp = jnp.max(jnp.abs(scale)).astype(var.dtype)
+        tiny = jnp.asarray(8.0 * jnp.finfo(var.dtype).tiny, var.dtype)
+        floor = jnp.maximum(floor * amp, tiny)
+    return jnp.maximum(var, floor)
+
+
 @precise_linalg
 def conditional(
     Kmn,
@@ -169,16 +213,10 @@ def conditional(
     reduce_ = jnp.sum(Aw**2, axis=0)  # diag(Knm K⁻¹ Kmn), [N]
     extra = jnp.sum(SA**2, axis=1)  # [C, N]
     var = Knn[None, :] - reduce_[None, :] + extra  # [C, N]
-    # Graceful degradation for APPROXIMATE kernels: the finite-difference
-    # PDE Gram (kernels/pde.py) is only approximately PSD across (Z, X)
-    # *jointly* — K_sym_psd guards Kuu, but Knn − diag(AᵀA) can still go
-    # negative (measured −9.3 at dyadic_order=1 on rough paths). Whitened
-    # init (S=I) cancels the A terms exactly, so the violation surfaces
-    # only once q_sqrt moves — a NaN on training step 2. Floor the
-    # marginal variance at a dtype-tiny positive value so the likelihood
-    # quadrature's sqrt/log degrade gracefully instead of NaN; exact
-    # kernels sit orders of magnitude above the floor (jitter scale), so
-    # this is inert for them. Refinement (dyadic_order) shrinks the
-    # violation ~10× per order; the floor is the safety net, not the fix.
-    var = jnp.maximum(var, _conditional_var_floor(var.dtype))
+    # Graceful degradation for APPROXIMATE kernels: whitened init (S=I)
+    # cancels the A terms exactly, so a joint-PSD violation of an FD Gram
+    # surfaces only once q_sqrt moves — a NaN on training step 2.
+    # Refinement (dyadic_order) shrinks the violation ~10× per order; the
+    # floor (see floor_marginal_variance) is the safety net, not the fix.
+    var = floor_marginal_variance(var, scale=Knn)
     return mean, var.T  # [N, C]

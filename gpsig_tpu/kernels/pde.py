@@ -177,3 +177,53 @@ class UntruncatedSignatureKernel:
         if self.normalization:
             return self.sigma * jnp.ones(Xs.shape[0], Xs.dtype)
         return self.sigma * self._diag_raw(Xs)
+
+    def feature(self, X, num_levels):
+        """Ψ(X): rescaled truncated-signature coordinates of this kernel's
+        Mercer expansion — the VOSF ``Kuf`` under the untruncated prior.
+
+        Reference parity: the SigGPDE VOSF inducing family (reference VOSF
+        class, SURVEY.md §2.2 row 3): ``Kuf[I, x]`` = rescaled I-th
+        signature coefficient of x, ``Kuu = I``, ``Knn`` = the PDE kernel.
+        The untruncated kernel solves to k(x, y) = σ·Σ_I S_I(x)S_I(y) over
+        ALL words I (level 0 included; verified against the expansion in
+        ``test_pde_converges_to_truncated_signature_kernel``), so
+
+            φ_I(x) = √σ · S_I(x)                       (normalization=False)
+            φ_I(x) = √σ · S_I(x) / ‖S(x)‖              (normalization=True)
+
+        is an exact feature expansion of ``K``/``Kdiag`` and any truncated
+        prefix of it gives inter-domain features with ``Kuu = I`` exactly
+        (u_I = w_I in f = Σ_I w_I φ_I, w ~ N(0, I)). The truncation gap
+        ``Knn − Σ_{|I| ≤ num_levels} φ_I²`` is structurally ≥ 0 (it is the
+        mass of the dropped words) but *finite-difference approximate* here
+        — every marginal conditional path floors it
+        (``gauss.floor_marginal_variance``).
+
+        ‖S(x)‖² is the untruncated diag, estimated by the same FD solve
+        (and the same ≥ 1 floor) as ``K``'s normalization, so Ψ is exactly
+        consistent with the kernel object's own normalized Gram.
+
+        Only the linear base lifts to explicitly-computable signature
+        coordinates (a non-linear base kernel is the signature of an
+        implicit RKHS-lifted path); others raise.
+        """
+        if not isinstance(self.base, sk.LinearBase):
+            raise NotImplementedError(
+                "VOSF features under the untruncated prior require the "
+                "linear base kernel (explicit signature coordinates exist "
+                f"only for the identity lift); got {type(self.base).__name__}"
+            )
+        from gpsig_tpu.ops import explicit as ex
+
+        Xs = self._scaled(X)
+        levels = ex.truncated_signature(Xs, num_levels)
+        N = Xs.shape[0]
+        cols = [jnp.ones((N, 1), Xs.dtype)] + [
+            lv.reshape(N, -1) for lv in levels
+        ]
+        F = jnp.sqrt(self.sigma) * jnp.concatenate(cols, axis=-1)
+        if self.normalization:
+            norm = jnp.sqrt(jnp.maximum(self._diag_raw(Xs), 1.0))
+            F = F / norm[:, None]
+        return F

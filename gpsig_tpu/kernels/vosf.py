@@ -116,19 +116,56 @@ class OrthogonalSignatureFeatures:
 
     Use with ``SVGP(..., q_diag=True, whiten=True)``: whitened and
     unwhitened coincide, the KL is diagonal-Gaussian vs N(0, I) (O(M)),
-    and the natural-gradient update is elementwise."""
+    and the natural-gradient update is elementwise.
+
+    Two priors are supported (``for_kernel`` dispatches on the kernel):
+
+    * :class:`ExplicitSignatureKernel` — the self-consistent truncated
+      lift: the prior *is* k = ΨᵀΨ, so the conditional's ``Knn − Σ Kuf²``
+      cancels exactly (rounding noise around zero, floored).
+    * :class:`~gpsig_tpu.kernels.pde.UntruncatedSignatureKernel` — the
+      reference SigGPDE model (SURVEY.md §2.2 row 3): the prior is the
+      untruncated PDE kernel, ``Kuf`` = the first ``feature_levels`` of
+      its Mercer expansion (``UntruncatedSignatureKernel.feature``), and
+      the truncation gap ``Knn − Σ Kuf² ≥ 0`` is genuine prior variance
+      mass outside the inducing span — the model the fork's 1M-series
+      SITS experiment trains.
+    """
 
     num_inducing: int = struct.field(pytree_node=False)
+    #: truncation level of the feature set under the untruncated prior;
+    #: None = the kernel computes its own features (ExplicitSignatureKernel)
+    feature_levels: int | None = struct.field(pytree_node=False,
+                                              default=None)
 
     kuu_is_identity = True
 
     @classmethod
-    def for_kernel(cls, kernel: ExplicitSignatureKernel):
-        return cls(num_inducing=kernel.num_features_total)
+    def for_kernel(cls, kernel, num_levels=None):
+        """Features for ``kernel``. For the untruncated (PDE) kernel pass
+        ``num_levels`` — the signature truncation level of the inducing
+        set (M = 1 + Σ_{m≤num_levels} d^m)."""
+        if isinstance(kernel, ExplicitSignatureKernel):
+            if num_levels is not None and num_levels != kernel.num_levels:
+                raise ValueError(
+                    "ExplicitSignatureKernel carries its own truncation "
+                    f"level ({kernel.num_levels}); num_levels must be "
+                    "omitted or equal"
+                )
+            return cls(num_inducing=kernel.num_features_total)
+        if num_levels is None:
+            raise ValueError(
+                "num_levels is required under the untruncated prior (it "
+                "sets the inducing truncation level)"
+            )
+        M = ex.signature_dim(kernel.num_features, num_levels)
+        return cls(num_inducing=M, feature_levels=num_levels)
 
     def Kuu(self, kernel, jitter=None):
         del jitter
         return jnp.eye(self.num_inducing, dtype=kernel.raw_sigma.dtype)
 
     def Kuf(self, kernel, X):
+        if self.feature_levels is not None:
+            return kernel.feature(X, self.feature_levels).T
         return kernel.feature(X).T

@@ -84,8 +84,11 @@ class SVGP:
         else:
             SA = jnp.einsum("cmk,kn->cmn", jnp.swapaxes(q_sqrt, -1, -2), Kuf)
             extra = jnp.sum(SA**2, axis=1)
+        # Knn ≡ Σ Kuf² analytically on the self-consistent VOSF path, and
+        # Knn is the (approximate) PDE kernel on the untruncated-prior
+        # path — both need the marginal floor (gauss.floor_marginal_variance).
         var = Knn[None, :] - jnp.sum(Kuf**2, axis=0)[None, :] + extra
-        return mean, var.T
+        return mean, gauss.floor_marginal_variance(var, scale=Knn).T
 
     @precise_linalg
     def predict_f(self, X, full_cov=False):
@@ -247,7 +250,11 @@ class Posterior:
         else:
             QK = jnp.einsum("cmp,pn->cmn", self.quad, Kuf)
             red = jnp.sum(Kuf[None] * QK, axis=1)  # [C, N]
-        var = Knn[None, :] - red
+        # Same subtraction structure as gauss.conditional — approximate
+        # (FD-PDE) kernels and identity features need the marginal floor
+        # here too (full_cov matrices are exact-kernel-only; see
+        # gauss.floor_marginal_variance for the policy).
+        var = gauss.floor_marginal_variance(Knn[None, :] - red, scale=Knn)
         return mean, var.T
 
     def predict_y(self, X, **kw):

@@ -422,15 +422,21 @@ def _xla_reference_diag(X, num_levels, rbf):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def fused_gram_levels(X, Y, num_levels, rbf=True, interpret=False, bx=8,
-                      mxu=None):
+                      mxu=None, pipeline=None):
     """[nl+1, N1, N2] per-level signature kernels, fully fused.
 
     X: [N1, L, d], Y: [N2, L, d] — pre-scaled sequences (order 1,
     difference=True semantics). num_levels <= 7. ``bx`` = x-sequences per
     grid step (wider MXU matmuls; VMEM budget ~ bx·(nl-1)·128·L·4B).
     ``mxu``: 'highest' | 'split' | 'default' in-kernel matmul mode (None →
-    env GPSIG_MXU_PRECISION, default 'highest'); see module docstring."""
-    return _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx, mxu)
+    env GPSIG_MXU_PRECISION, default 'highest'); see module docstring.
+    ``pipeline``: force the software-pipelined column loop on (True) or
+    off (False); None reads GPSIG_FUSED_PIPELINE **at trace time** — a
+    jit-cached trace keeps whatever value the env var had when it was
+    first compiled, so flipping the env var later has no effect on cached
+    entry points (pass the kwarg explicitly to control it per call)."""
+    return _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx, mxu,
+                           pipeline=pipeline)
 
 
 def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8, mxu=None,

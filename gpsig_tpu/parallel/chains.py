@@ -61,7 +61,10 @@ def run_chains_sharded(
     The default ``"auto"`` picks ``TPU_DEFAULT_DRAWS_PER_DISPATCH`` on TPU
     backends — where a monolithic dispatch is known to trip execution
     deadlines — and the monolithic single-dispatch path elsewhere.
-    ``None`` forces monolithic everywhere.
+    ``None`` forces a single dispatch per phase — but note that
+    ``chain_blocks > 1`` always routes through the chunked sampler (with
+    ``draws_per_dispatch = max(num_warmup, num_samples, 1)``, i.e. one
+    chunk per phase), since sequential vmap blocks are implemented there.
 
     chain_blocks: split each device's chains into this many sequential
     vmap blocks (see ``make_chunked_sampler``) — the single-chip
@@ -304,6 +307,11 @@ def make_chunked_sampler(
                 errors.append((d, e))
                 continue
             saved = {k: int(v) for k, v in tree.get("config", {}).items()}
+            # Checkpoints written before chain_blocks existed carry no such
+            # key; chain_blocks=1 is bit-identical to the old behavior, so
+            # default it rather than rejecting legacy checkpoints.
+            if saved:
+                saved.setdefault("chain_blocks", 1)
             if saved and saved != expect_config:
                 raise ValueError(
                     f"checkpoint {cdir}/{d} was written under a different "

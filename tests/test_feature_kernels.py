@@ -296,3 +296,103 @@ def test_pde_inducing_sequence_svgp_safe_by_default():
     grads = jax.grad(lambda m: m.elbo(X, Y, num_data=24))(model)
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+@pytest.mark.parametrize("normalization", [False, True])
+def test_vosf_pde_expansion_parity_and_truncation_gap(normalization):
+    """VOSF under the untruncated prior (the SigGPDE headline model,
+    SURVEY.md §2.2 row 3): ``Kuf`` must be a genuine prefix of the PDE
+    kernel's Mercer expansion — Σ_I Kuf_I(x)·Kuf_I(y) converges to
+    ``K(x, y)`` as the inducing truncation level grows — and the
+    truncation gap ``Knn − Σ Kuf²`` must be (FD-approximately)
+    nonnegative: it is the prior mass on the dropped words."""
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(_paths(rng, 5, 6, 2, scale=0.25))
+    kern = UntruncatedSignatureKernel.create(
+        2, dyadic_order=4, lengthscales=0.8, sigma=1.7,
+        normalization=normalization)
+    K = np.asarray(kern.K(X))
+    errs = []
+    for nl in (2, 4, 6):
+        feat = OrthogonalSignatureFeatures.for_kernel(kern, num_levels=nl)
+        Kuf = np.asarray(feat.Kuf(kern, X))
+        assert Kuf.shape == (feat.num_inducing, 5)
+        assert np.asarray(feat.Kuu(kern)).shape == (
+            feat.num_inducing, feat.num_inducing)
+        errs.append(np.max(np.abs(Kuf.T @ Kuf - K)))
+    # expansion prefix converges to the untruncated Gram
+    assert errs[2] < errs[1] < errs[0]
+    assert errs[2] < 2e-3 * np.max(np.abs(K))
+    # truncation gap at a coarse level: structurally >= 0 modulo FD error
+    # (measured: min gap −3.5e-4 at dyadic_order=4, +8.8e-7 at order 6 —
+    # refinement drives the violation through zero, the conditional floor
+    # absorbs what remains)
+    feat = OrthogonalSignatureFeatures.for_kernel(kern, num_levels=3)
+    Kuf = np.asarray(feat.Kuf(kern, X))
+    gap = np.asarray(kern.Kdiag(X)) - (Kuf**2).sum(0)
+    assert np.all(gap > -1e-3 * np.max(np.abs(K)))
+    kern6 = kern.replace(dyadic_order=6)
+    Kuf6 = np.asarray(feat.Kuf(kern6, X))
+    gap6 = np.asarray(kern6.Kdiag(X)) - (Kuf6**2).sum(0)
+    assert np.all(gap6 >= 0.0)
+    assert np.max(np.abs(gap6 - np.clip(gap, 0, None))) < 5e-4 * np.max(
+        np.abs(K))
+
+
+def test_vosf_pde_requires_linear_base_and_levels():
+    from gpsig_tpu.kernels.static_kernels import RBFBase
+
+    kern = UntruncatedSignatureKernel.create(2, base=RBFBase())
+    with pytest.raises(ValueError, match="num_levels"):
+        OrthogonalSignatureFeatures.for_kernel(kern)
+    feat = OrthogonalSignatureFeatures.for_kernel(kern, num_levels=2)
+    with pytest.raises(NotImplementedError, match="linear base"):
+        feat.Kuf(kern, jnp.zeros((2, 4, 2)))
+
+
+def test_vosf_pde_svgp_trains_end_to_end():
+    """The actual SigGPDE model: untruncated PDE prior + orthogonal
+    signature features (Kuu = I), diagonal q, natgrad+Adam, float32 —
+    the on-chip recipe. The FD-approximate truncation gap must stay
+    floored (never NaN) on every path: elbo, predict_f, and the cached
+    posterior (models/svgp.py Posterior.predict_f)."""
+    import optax
+
+    from gpsig_tpu.training.loop import init_state, make_step_fn
+
+    rng = np.random.default_rng(8)
+    N, L, d = 24, 8, 2
+    X0 = _paths(rng, N // 2, L, d, scale=0.3)
+    X1 = _paths(rng, N // 2, L, d, scale=0.3) + np.linspace(
+        0, 1.5, L).reshape(1, L, 1)
+    X = jnp.asarray(np.concatenate([X0, X1]), jnp.float32)
+    Y = jnp.asarray(np.concatenate([np.zeros(N // 2), np.ones(N // 2)])
+                    .astype(np.int32))
+    kern = UntruncatedSignatureKernel.create(
+        d, dyadic_order=1, normalization=True, dtype=jnp.float32)
+    feat = OrthogonalSignatureFeatures.for_kernel(kern, num_levels=3)
+    model = SVGP.create(kern, liks.MultiClass(2), feat, num_latent=2,
+                        q_diag=True, dtype=jnp.float32)
+    opt = optax.adam(5e-3)
+    step = make_step_fn(opt, num_data=N, gamma=0.1, use_natgrad=True)
+    state = init_state(model, opt)
+    es = []
+    for i in range(6):
+        state, e = step(state, X, Y, jax.random.PRNGKey(i))
+        es.append(float(e))
+    assert np.all(np.isfinite(es)), es
+    assert es[-1] > es[0]  # ELBO improves
+    model = state.model
+    fm, fv = model.predict_f(X)
+    assert np.all(np.isfinite(np.asarray(fm)))
+    assert np.all(np.asarray(fv) > 0)
+    post = model.posterior()
+    pm, pv = post.predict_y(X)
+    assert np.all(np.isfinite(np.asarray(pm)))
+    assert np.all(np.asarray(pv) > 0)
+    # cached posterior ≡ direct predict_f on the identity path
+    m2, v2 = post.predict_f(X)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(fm), rtol=2e-5,
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(fv), rtol=2e-4,
+                               atol=2e-6)

@@ -303,3 +303,48 @@ def test_nuts_logp_through_fused_engines():
         num_warmup=5, num_samples=5, max_depth=3)
     assert np.all(np.isfinite(np.asarray(samples)))
     assert samples.shape == (8, 5, dim)
+
+
+def test_legacy_checkpoint_without_chain_blocks_resumes(tmp_path):
+    """Advisor r4: checkpoints written before the chain_blocks config key
+    existed must resume under the (bit-identical) chain_blocks=1 default
+    instead of being rejected by the strict config comparison."""
+    import os
+
+    from gpsig_tpu.parallel.chains import make_chunked_sampler
+    from gpsig_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    logp, _ = _corr_gauss_logp()
+    mesh = meshlib.make_mesh(data=8, tile=1)
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(12), (8, 2))
+    key = jax.random.PRNGKey(13)
+    kw = dict(num_warmup=12, num_samples=8, max_depth=4,
+              draws_per_dispatch=5)
+
+    ref_theta, _ = make_chunked_sampler(logp, mesh, **kw)(key, theta0)
+
+    cdir = str(tmp_path / "legacy")
+    out = make_chunked_sampler(logp, mesh, **kw)(
+        key, theta0, checkpoint_dir=cdir, max_chunks=1)
+    assert out is None
+    # strip the chain_blocks key in place — a pre-r4 checkpoint
+    (step_dir,) = [d for d in os.listdir(cdir) if d.startswith("chunk_")]
+    path = os.path.join(cdir, step_dir)
+    tree = restore_checkpoint(path, None)
+    assert "chain_blocks" in tree["config"]
+    del tree["config"]["chain_blocks"]
+    import shutil
+
+    shutil.rmtree(path)
+    save_checkpoint(path, tree)
+
+    out = None
+    while out is None:
+        out = make_chunked_sampler(logp, mesh, **kw)(
+            key, theta0, checkpoint_dir=cdir, max_chunks=2)
+    t, _ = out
+    np.testing.assert_allclose(np.asarray(t), np.asarray(ref_theta),
+                               rtol=1e-12)

@@ -153,6 +153,17 @@ def test_pde_kernel_training_survives_joint_psd_violation():
     fm, fv = state.model.predict_f(Xj)
     assert np.all(np.isfinite(np.asarray(fm)))
     assert np.all(np.asarray(fv) > 0)
+    # VERDICT r4 weak #2: the cached posterior is the default compat
+    # prediction path and computes Knn − kufᵀQ kuf directly — it must
+    # floor marginal variances exactly like gauss.conditional, or the
+    # joint-PSD violation this test provokes reintroduces the NaN there.
+    post = state.model.posterior()
+    pm, pv = post.predict_y(Xj)
+    assert np.all(np.isfinite(np.asarray(pm)))
+    assert np.all(np.isfinite(np.asarray(pv)))
+    pfm, pfv = post.predict_f(Xj)
+    assert np.all(np.asarray(pfv) > 0)
+    assert np.all(np.isfinite(np.asarray(pfm)))
 
 
 def test_conditional_var_floor_inert_for_exact_kernels():
@@ -268,3 +279,24 @@ def test_fit_early_stopping_accuracy_metric_smoke():
                   gamma=0.05, val_data=(X, y), val_every=10, patience=2)
     p, _ = best.predict_y(X)
     assert np.isfinite(np.asarray(p)).all()
+
+
+def test_floor_marginal_variance_scales_with_amplitude():
+    """Advisor r4: the floor must track the kernel amplitude — a kernel
+    with signal variance at/below the old absolute floor (1e-8 in f32)
+    must not be silently perturbed, and a degenerate all-zero scale must
+    still produce a positive, log-finite floor."""
+    from gpsig_tpu import gauss
+
+    v = jnp.asarray([1e-10, -1e-12], jnp.float32)
+    knn = jnp.asarray([1e-10, 1e-10], jnp.float32)
+    out = np.asarray(gauss.floor_marginal_variance(v, scale=knn))
+    assert out[0] == np.float32(1e-10)  # inert for tiny-amplitude kernels
+    assert out[1] > 0.0  # violation still clamped positive
+    out0 = np.asarray(gauss.floor_marginal_variance(
+        jnp.asarray([-1.0], jnp.float32), scale=jnp.zeros(2, jnp.float32)))
+    assert out0[0] > 0.0 and np.isfinite(np.log(out0[0]))
+    # without a scale: the absolute dtype floor, unchanged behavior
+    outa = np.asarray(gauss.floor_marginal_variance(
+        jnp.asarray([-5.0], jnp.float32)))
+    np.testing.assert_allclose(outa[0], 1e-8)
