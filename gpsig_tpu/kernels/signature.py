@@ -51,10 +51,15 @@ Three Pallas engines exist, all TPU-only; everything else takes the XLA path
   through the column stream; the Poly offset is folded in as a constant
   channel so its gradient flows through the fused backward. The tuned
   order-1 kernel takes precedence where both apply.
-- *Fused tensor-vs-sequence* (`ops/pallas/tens_seq.py` — the SVGP training
-  covariance Kuf with inducing tensors): same applicability conditions as
-  the fully-fused Gram; dispatched when T·N clears `_FUSED_MIN_PAIRS` or
-  ``engine='pallas'``.
+- *Fused tensor-vs-sequence, tuned order-1 path* (`ops/pallas/tens_seq.py`
+  — the SVGP training covariance Kuf with inducing tensors): same
+  applicability conditions as the tuned fully-fused Gram; dispatched when
+  T·N clears `_FUSED_MIN_PAIRS` or ``engine='pallas'``.
+- *Fused tensor-vs-sequence, general path*
+  (`ops/pallas/tens_seq_general.py`): any ``order``, ``difference`` True
+  or False, RBF/Linear/Poly/Cosine bases, ``num_levels <= 7`` — the
+  run-length 1-D DP streamed through the same VMEM layout; the tuned
+  order-1 kernel takes precedence where both apply.
 - Both fused paths carry *fully-fused VMEM backwards* on TPU backends
   (custom_vjp → `fused_gram_levels_bwd_pallas` / `tens_seq_bwd_pallas`),
   so neither training nor prediction-scale hyperparameter gradients
@@ -482,6 +487,25 @@ class SignatureKernel:
             levels = fused_tens_seq_levels(
                 Zs, Xs, self.num_levels, rbf, increments,
                 interpret=self._pallas_interpret(),
+                mxu=self._mxu_mode(Xs),
+            )
+            return self._finish_tens_vs_seq(levels, Xs, return_levels)
+        kind = self._fused_ho_kind()
+        if kind is not None and (
+            Zs.shape[0] * N >= self._FUSED_MIN_PAIRS
+            or self.engine == "pallas"
+        ):
+            from gpsig_tpu.ops.pallas.tens_seq_general import (
+                fused_tens_seq_general_levels,
+            )
+
+            Zq, Xq = Zs, Xs
+            if kind.startswith("poly"):
+                Xq = self._ho_augment(Xs)  # x_extra = 1
+                Zq = self._ho_augment_other(Zs)  # z_extra = offset
+            levels = fused_tens_seq_general_levels(
+                Zq, Xq, self.num_levels, self.order, kind, increments,
+                self.difference, interpret=self._pallas_interpret(),
                 mxu=self._mxu_mode(Xs),
             )
             return self._finish_tens_vs_seq(levels, Xs, return_levels)

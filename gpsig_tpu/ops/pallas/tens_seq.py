@@ -36,9 +36,10 @@ CPU fallback (at the training shape its [T, N, F, L] intermediate is
 ~75 MB — fine; at prediction-scale N it would hit the HBM wall the fused
 path avoids).
 
-Supports order=1, difference=True (the reference benchmarks' setting);
-other configurations take the XLA path (see kernels/signature.py docstring,
-"Engine coverage").
+Supports order=1, difference=True (the reference benchmarks' setting) —
+the speed-tuned path; every other fused-able configuration takes the
+general engine in ``tens_seq_general.py`` (see kernels/signature.py
+docstring, "Engine coverage").
 """
 
 from __future__ import annotations

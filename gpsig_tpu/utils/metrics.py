@@ -108,3 +108,29 @@ def effective_sample_size(chains):
         # cap at the draw count (conservative vs Stan's CS·log10(CS) cap)
         ess[dd] = min(C * S / max(tau, 1e-12), C * S)
     return ess
+
+
+def split_rhat(chains):
+    """Split-R̂ per coordinate (Gelman/Vehtari potential scale reduction).
+
+    chains: [C, S, D] post-warmup draws. Each chain is split in half
+    (dropping the middle draw when S is odd), giving 2C sequences of
+    length S//2; R̂ = sqrt(var̂⁺ / W) with the standard between/within
+    decomposition. Values near 1 indicate mixing; Vehtari et al. (2021)
+    recommend requiring R̂ < 1.01.
+    """
+    import numpy as np
+
+    x = np.asarray(chains, np.float64)
+    C, S, D = x.shape
+    half = S // 2
+    if half < 2:
+        return np.full(D, np.nan)
+    halves = np.concatenate([x[:, :half], x[:, S - half :]], axis=0)
+    m = 2 * C
+    mean_c = halves.mean(axis=1)  # [m, D]
+    var_c = halves.var(axis=1, ddof=1)  # [m, D]
+    W = var_c.mean(0)
+    B = half * mean_c.var(axis=0, ddof=1)
+    var_plus = W * (half - 1) / half + B / half
+    return np.sqrt(var_plus / np.maximum(W, 1e-300))

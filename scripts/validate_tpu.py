@@ -1314,6 +1314,301 @@ def job_nuts_scale():
     print(f"  vmap-block utilization (measured leaves): {util}")
 
 
+def job_nuts_production():
+    """VERDICT r4 #6: config 5 at production length — the nuts_scale
+    model (128 chains, N=100, L=50, nl=4, fused engines) run for >= 500
+    warmup + >= 500 draws through the checkpointed chunked sampler at
+    the measured chain_blocks optimum, so the ESS and min-ESS/s
+    headline rest on production-length chains; adds split-R̂ (Vehtari
+    < 1.01 bar). argv: [chain_blocks=8] [warm=500] [samp=500]
+    [checkpoint_dir=/tmp/gpsig_nuts_prod] — rerun after a relay drop to
+    resume from the last finished chunk."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu import params as pr
+    from gpsig_tpu.data.synthetic import regression_sequences
+    from gpsig_tpu.kernels.signature import SignatureRBF
+    from gpsig_tpu.models.gpr import GPR
+    from gpsig_tpu.parallel import mesh as meshlib
+    from gpsig_tpu.parallel.chains import make_chunked_sampler
+    from gpsig_tpu.utils.metrics import effective_sample_size, split_rhat
+
+    dtype = jnp.float32
+    d, nl = 2, 4
+    N, L = 100, 50
+    C, DEPTH, BLK = 128, 6, 25
+    GROUPS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    WARM = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+    SAMP = int(sys.argv[4]) if len(sys.argv) > 4 else 500
+    cdir = sys.argv[5] if len(sys.argv) > 5 else "/tmp/gpsig_nuts_prod"
+    X, y = regression_sequences(seed=0, N=N, L=L, d=d)
+    Xj, yj = jnp.asarray(X, dtype), jnp.asarray(y, dtype)
+
+    def logp(theta):
+        ell = jnp.exp(theta[:d])
+        var = jnp.exp(theta[d : d + nl + 1])
+        noise = jnp.exp(theta[-1])
+        kern = SignatureRBF(d, nl, lengthscales=1.0, order=1,
+                            normalization=True, dtype=dtype,
+                            engine="pallas")
+        kern = kern.replace(raw_lengthscales=pr.inv_positive(ell),
+                            raw_variances=pr.inv_positive(var))
+        m = GPR.create(kern, noise_variance=noise, dtype=dtype)
+        return m.log_marginal_likelihood(Xj, yj) - 0.5 * jnp.sum(
+            theta**2) / 4.0
+
+    dim = d + nl + 2
+    mesh = meshlib.make_mesh()
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (C, dim),
+                                     dtype)
+    sampler = make_chunked_sampler(
+        logp, mesh, num_warmup=WARM, num_samples=SAMP, max_depth=DEPTH,
+        draws_per_dispatch=BLK, chain_blocks=GROUPS)
+    walls = {"warmup": [], "sampling": []}
+    last = [time.time()]
+
+    def on_chunk(phase, pos, total):
+        now = time.time()
+        walls[phase].append(now - last[0])
+        last[0] = now
+        print(f"  {phase} {pos}/{total}: chunk wall "
+              f"{walls[phase][-1]:.1f}s", flush=True)
+
+    t0 = time.time()
+    out = sampler(jax.random.PRNGKey(0), theta0, on_chunk=on_chunk,
+                  checkpoint_dir=cdir)
+    t_total = time.time() - t0
+    samples, info = out
+    s = np.asarray(samples)
+    assert np.all(np.isfinite(s))
+
+    med_samp = float(np.median(walls["sampling"][1:]))
+    draws_s = C * BLK / med_samp
+    ess = effective_sample_size(s)
+    rhat = split_rhat(s)
+    samp_steady = med_samp * max(len(walls["sampling"]), 1)
+    acc = float(np.asarray(info["accept_prob"]).mean())
+    div = float(np.asarray(info["diverging"]).mean())
+    print(f"nuts_production: C={C} N={N} L={L} nl={nl} depth={DEPTH} "
+          f"warm+samp={WARM}+{SAMP} blk={BLK} chain_blocks={GROUPS} "
+          f"engine=pallas")
+    print(f"  total wall {t_total:.1f}s (this slice); sampling chunk "
+          f"median {med_samp:.1f}s -> {draws_s:.1f} draws/s steady")
+    print(f"  accept {acc:.3f}  divergent {div:.4f}")
+    print(f"  cross-chain ESS ({C}x{SAMP} draws): min {ess.min():.0f} "
+          f"med {np.median(ess):.0f} max {ess.max():.0f}; min ESS/s "
+          f"{ess.min()/samp_steady:.2f}")
+    print(f"  split-Rhat: max {rhat.max():.4f} "
+          f"(per-coord {[round(float(r), 4) for r in rhat]})")
+
+
+def job_tsg_kuf():
+    """General fused tens-vs-seq engine on hardware (VERDICT r4 #2): the
+    flagship Kuf shape (M=500 inducing tensors, B=50, L=50, d=3, nl=5)
+    at order=2 with increments — compiled parity vs the XLA path +
+    amortized fwd and fwd+grad timing — plus compiled parity of every
+    other base kind / difference=False at a smaller shape."""
+    import jax
+    import jax.numpy as jnp
+    from gpsig_tpu.ops.pallas import tens_seq_general as tsg
+    from gpsig_tpu.ops.signature import tensor_factor_count
+
+    T, N, L, d, nl, R = 500, 50, 50, 3, 5, 16
+    order = 2
+    F = tensor_factor_count(nl)
+    rng = np.random.default_rng(0)
+    Z = jnp.asarray(0.3 * rng.standard_normal((T, F, 2, d)), jnp.float32)
+    X = jnp.asarray((0.3 * rng.standard_normal((N, L, d))).cumsum(1),
+                    jnp.float32)
+    want = np.asarray(jax.jit(
+        lambda z, x: tsg._xla_reference_tens_seq_general(
+            z, x, nl, order, "rbf", True, True)
+    )(Z, X))
+    scale = np.abs(want).max(axis=(1, 2), keepdims=True) + 1e-30
+    fn = jax.jit(lambda z, x: tsg.fused_tens_seq_general_levels(
+        z, x, nl, order, "rbf", True, True, False, "split"))
+    got = np.asarray(fn(Z, X))
+    err = np.max(np.abs(got - want) / scale)
+    rep = jax.jit(lambda z, x, s: jax.lax.scan(
+        lambda c, e: (c, jnp.sum(tsg.fused_tens_seq_general_levels(
+            z, x * (1.0 + e), nl, order, "rbf", True, True, False,
+            "split"))),
+        0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
+    np.asarray(rep(Z, X, jnp.float32(0)))
+    t = _median_time(lambda i: np.asarray(rep(Z, X, jnp.float32(i))))
+    print(f"tsg_kuf order=2 rbf+increments: scaled err {err:.2e}  "
+          f"{t/R*1e3:.2f} ms/Kuf ({R * T * N / t:.0f} entries/s)")
+
+    # fwd+grad through the fused VMEM backward
+    w = jnp.asarray(rng.standard_normal((nl + 1, T, N)), jnp.float32)
+    gfn = jax.jit(jax.grad(lambda z, x: jnp.sum(
+        w * tsg.fused_tens_seq_general_levels(
+            z, x, nl, order, "rbf", True, True, False, "split")),
+        argnums=(0, 1)))
+    zb, xb = gfn(Z, X)
+    assert np.all(np.isfinite(np.asarray(zb)))
+    _, vjp = jax.vjp(lambda z, x: tsg._xla_reference_tens_seq_general(
+        z, x, nl, order, "rbf", True, True), Z, X)
+    zw, xw = vjp(w)
+    gerr = max(
+        float(jnp.max(jnp.abs(zb - zw)) / (jnp.max(jnp.abs(zw)) + 1e-30)),
+        float(jnp.max(jnp.abs(xb - xw)) / (jnp.max(jnp.abs(xw)) + 1e-30)),
+    )
+    repg = jax.jit(lambda z, x, s: jax.lax.scan(
+        lambda c, e: (c, sum(jnp.sum(v) for v in gfn(z, x * (1.0 + e)))),
+        0.0, 1e-4 * (s + jnp.arange(4, dtype=x.dtype)))[1])
+    np.asarray(repg(Z, X, jnp.float32(0)))
+    tg = _median_time(lambda i: np.asarray(repg(Z, X, jnp.float32(i))))
+    print(f"  fwd+grad: scaled err {gerr:.2e}  {tg/4*1e3:.2f} ms/step")
+
+    # XLA-path timing at the same shape (the old engine's row)
+    repx = jax.jit(lambda z, x, s: jax.lax.scan(
+        lambda c, e: (c, jnp.sum(tsg._xla_reference_tens_seq_general(
+            z, x * (1.0 + e), nl, order, "rbf", True, True))),
+        0.0, 1e-4 * (s + jnp.arange(R, dtype=x.dtype)))[1])
+    np.asarray(repx(Z, X, jnp.float32(0)))
+    tx = _median_time(lambda i: np.asarray(repx(Z, X, jnp.float32(i))))
+    print(f"  XLA path: {tx/R*1e3:.2f} ms/Kuf (fused {tx/t:.2f}x)")
+
+    # every other variant: compiled parity at a smaller shape
+    T2, nl2 = 256, 4
+    F2 = tensor_factor_count(nl2)
+    Z2 = jnp.asarray(0.3 * rng.standard_normal((T2, F2, d)), jnp.float32)
+    for kind, o, diff in [("linear", 2, True), ("cosine", 2, True),
+                          ("poly2", 2, True), ("rbf", 3, True),
+                          ("rbf", 2, False), ("poly2", 1, False)]:
+        f2 = jax.jit(lambda z, x, kind=kind, o=o, diff=diff:
+                     tsg.fused_tens_seq_general_levels(
+                         z, x, nl2, o, kind, False, diff, False, "split"))
+        t0 = time.time()
+        got = np.asarray(f2(Z2, X))
+        tc = time.time() - t0
+        want = np.asarray(jax.jit(
+            lambda z, x, kind=kind, o=o, diff=diff:
+            tsg._xla_reference_tens_seq_general(z, x, nl2, o, kind, False,
+                                                diff))(Z2, X))
+        sc = np.abs(want).max(axis=(1, 2), keepdims=True) + 1e-30
+        err = np.max(np.abs(got - want) / sc)
+        print(f"  {kind} o={o} diff={diff}: compile {tc:.1f}s "
+              f"scaled err {err:.2e}")
+
+
+def job_vosfpde_train():
+    """The composed SigGPDE model on hardware (VERDICT r4 #1): VOSF
+    orthogonal features under the untruncated PDE prior — Kuu = I, Kuf =
+    rescaled signature coordinates, Knn = PDE diag — trained end-to-end
+    with diagonal natgrad + Adam in float32."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from gpsig_tpu import likelihoods as liks
+    from gpsig_tpu.data.synthetic import classification_sequences
+    from gpsig_tpu.kernels.pde import UntruncatedSignatureKernel
+    from gpsig_tpu.kernels.vosf import OrthogonalSignatureFeatures
+    from gpsig_tpu.models.svgp import SVGP
+    from gpsig_tpu.training.loop import init_state, make_step_fn
+
+    dtype = jnp.float32
+    N, L, d, C, NL, B = 200, 50, 2, 2, 4, 50
+    X, y = classification_sequences(seed=0, N=N, L=L, d=d, num_classes=C)
+    Xj, yj = jnp.asarray(X, dtype), jnp.asarray(y)
+    kern = UntruncatedSignatureKernel.create(
+        d, lengthscales=1.5, normalization=True, dyadic_order=1,
+        dtype=dtype)
+    feat = OrthogonalSignatureFeatures.for_kernel(kern, num_levels=NL)
+    model = SVGP.create(kern, liks.MultiClass(num_classes=C), feat,
+                        num_latent=C, q_diag=True, dtype=dtype)
+    opt = optax.adam(5e-3)
+    step = make_step_fn(opt, num_data=N, gamma=0.1, use_natgrad=True)
+    state = init_state(model, opt)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+
+    def one(state, i):
+        idx = jnp.asarray(rng.choice(N, B, replace=False))
+        k = jax.random.fold_in(key, i)
+        state, elbo = step(state, Xj[idx], yj[idx], k)
+        return state, float(elbo)
+
+    t0 = time.time()
+    state, e0 = one(state, 0)
+    t_compile = time.time() - t0
+    iters = 60
+    t0 = time.time()
+    es = []
+    for i in range(1, iters + 1):
+        state, e = one(state, i)
+        es.append(e)
+    t_run = time.time() - t0
+    assert np.all(np.isfinite(es)), "non-finite ELBO in VOSF-PDE training"
+    # the cached posterior (the compat prediction path) stays finite
+    post = state.model.posterior()
+    pm, pv = jax.jit(lambda p, x: p.predict_y(x))(post, Xj)
+    assert np.all(np.isfinite(np.asarray(pm)))
+    assert np.all(np.isfinite(np.asarray(pv)))
+    M = feat.num_inducing
+    print(f"vosfpde_train: untruncated prior (dyadic_order=1) + VOSF "
+          f"features (M={M}, levels {NL}), N={N} L={L} B={B} C={C}: "
+          f"first step (compile) {t_compile:.1f}s, then {iters} steps in "
+          f"{t_run:.1f}s -> {iters/t_run:.1f} steps/s; ELBO "
+          f"{e0:.1f} -> {es[-1]:.1f}; posterior predict finite")
+
+
+def job_flagship_o2():
+    """Order-2 SVGP training at the flagship shape (VERDICT r4 #2 'done'
+    criterion): M=500 inducing tensors, nl=5, order=2, B=50, C=10 — the
+    Kuf goes through the general fused engine, the Kuu through the
+    tensor algebra, gradients through the fused VMEM backward."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from gpsig_tpu import likelihoods as liks
+    from gpsig_tpu.data.synthetic import classification_sequences
+    from gpsig_tpu.inducing import make_inducing_tensors_from_data
+    from gpsig_tpu.kernels.signature import SignatureRBF
+    from gpsig_tpu.models.svgp import SVGP
+    from gpsig_tpu.training.loop import init_state, make_step_fn
+
+    dtype = jnp.float32
+    N, L, d, C, M, NL, B = 500, 50, 2, 10, 500, 5, 50
+    X, y = classification_sequences(seed=0, N=N, L=L, d=d, num_classes=C)
+    Xj, yj = jnp.asarray(X, dtype), jnp.asarray(y)
+    kern = SignatureRBF(d, NL, lengthscales=1.0, order=2,
+                        normalization=True, dtype=dtype, engine="pallas")
+    feat = make_inducing_tensors_from_data(
+        jax.random.PRNGKey(0), Xj, num_tensors=M, num_levels=NL,
+        num_features=d, increments=True)
+    model = SVGP.create(kern, liks.MultiClass(num_classes=C), feat,
+                        num_latent=C, dtype=dtype)
+    opt = optax.adam(1e-3)
+    step = make_step_fn(opt, num_data=N, gamma=0.05, use_natgrad=True)
+    state = init_state(model, opt)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+
+    def one(state, i):
+        idx = jnp.asarray(rng.choice(N, B, replace=False))
+        k = jax.random.fold_in(key, i)
+        state, elbo = step(state, Xj[idx], yj[idx], k)
+        return state, float(elbo)
+
+    t0 = time.time()
+    state, e0 = one(state, 0)
+    t_compile = time.time() - t0
+    iters = 60
+    t0 = time.time()
+    es = []
+    for i in range(1, iters + 1):
+        state, e = one(state, i)
+        es.append(e)
+    t_run = time.time() - t0
+    assert np.all(np.isfinite(es)), "non-finite ELBO at order-2 flagship"
+    print(f"flagship_o2: M={M} nl={NL} order=2 B={B} C={C}: first step "
+          f"(compile) {t_compile:.1f}s, then {iters} steps in "
+          f"{t_run:.1f}s -> {iters/t_run:.1f} steps/s; ELBO "
+          f"{e0:.1f} -> {es[-1]:.1f}")
+
+
 if __name__ == "__main__":
     job = sys.argv[1] if len(sys.argv) > 1 else "fused_fwd"
     t0 = time.time()
@@ -1343,5 +1638,9 @@ if __name__ == "__main__":
      "ho_gram_n800_grad": job_ho_gram_n800_grad,
      "lags_pallas": job_lags_pallas,
      "pde_train": job_pde_train,
+     "tsg_kuf": job_tsg_kuf,
+     "nuts_production": job_nuts_production,
+     "vosfpde_train": job_vosfpde_train,
+     "flagship_o2": job_flagship_o2,
      "flagship_scan": job_flagship_scan}[job]()
     print(f"total {time.time()-t0:.1f} s")

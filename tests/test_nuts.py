@@ -348,3 +348,23 @@ def test_legacy_checkpoint_without_chain_blocks_resumes(tmp_path):
     t, _ = out
     np.testing.assert_allclose(np.asarray(t), np.asarray(ref_theta),
                                rtol=1e-12)
+
+
+def test_split_rhat_detects_mixing_and_failure():
+    """split_rhat ≈ 1 for iid well-mixed chains; >> 1 when chains sit at
+    different locations (a failure ESS alone can miss when within-chain
+    autocorrelation is low)."""
+    from gpsig_tpu.utils.metrics import split_rhat
+
+    rng = np.random.default_rng(0)
+    good = rng.standard_normal((8, 400, 3))
+    r = split_rhat(good)
+    assert r.shape == (3,)
+    assert np.all(r < 1.01), r
+    bad = good + 3.0 * rng.standard_normal((8, 1, 3))  # chain offsets
+    rb = split_rhat(bad)
+    assert np.all(rb > 1.2), rb
+    # trending chains (first half != second half) also flagged
+    trend = good + np.linspace(0, 2, 400)[None, :, None]
+    rt = split_rhat(trend)
+    assert np.all(rt > 1.05), rt
