@@ -68,6 +68,24 @@ def main():
     acc = float((np.asarray(p).argmax(1) == yte).mean())
     print("VOSF test accuracy:", round(acc, 3))
 
+    # --- the SigGPDE model: VOSF features UNDER the untruncated prior --------
+    # Kuu = I, Kuf = rescaled signature coordinates of the PDE kernel's
+    # Mercer expansion, Knn = the PDE kernel — the composition behind the
+    # fork's 1M-series experiment (SURVEY.md §2.2 row 3). The truncation
+    # gap Knn − ΣKuf² is genuine prior mass; the floored conditional
+    # handles its finite-difference error.
+    feat_pde = OrthogonalSignatureFeatures.for_kernel(pde, num_levels=4)
+    print("VOSF-under-PDE features (inducing dim):", feat_pde.num_inducing)
+    m2 = SVGP.create(pde, likelihoods.MultiClass(2), feat_pde,
+                     num_latent=2, q_diag=True)
+    m2, _ = fit(m2, jnp.asarray(Xtr), jnp.asarray(ytr),
+                num_iters=150, learning_rate=5e-3, gamma=0.1,
+                log_every=75)
+    p2, _ = m2.posterior().predict_y(jnp.asarray(Xte))
+    acc2 = float((np.asarray(p2).argmax(1) == yte).mean())
+    print("SigGPDE (VOSF @ untruncated prior) test accuracy:",
+          round(acc2, 3))
+
     # --- low-rank Nyström + sketched features --------------------------------
     lr = LowRankSignatureRBF(
         jax.random.PRNGKey(0), jnp.asarray(Xtr), d, num_levels=3,

@@ -60,8 +60,15 @@ class InducingSequences(_Wrapper):
 class OrthogonalFeatures(_Wrapper):
     """VOSF inter-domain features (fork — ``Kuu = I``; SURVEY.md §2.2).
 
-    Takes the compat/functional *explicit* signature kernel
-    (``gpsig_tpu.kernels.vosf.ExplicitSignatureKernel``)."""
+    Takes either the *explicit* signature kernel
+    (``gpsig_tpu.kernels.vosf.ExplicitSignatureKernel`` — the
+    self-consistent truncated lift) or, with ``num_levels``, the
+    **untruncated** PDE kernel (``compat.kernels.UntruncSignatureKernel``
+    / ``gpsig_tpu.kernels.pde.UntruncatedSignatureKernel``) — the
+    reference SigGPDE model: ``Kuf`` = rescaled signature coordinates of
+    the untruncated prior's Mercer expansion, ``Knn`` = PDE kernel."""
 
-    def __init__(self, kern):
-        self._feat = OrthogonalSignatureFeatures.for_kernel(_unwrap(kern))
+    def __init__(self, kern, num_levels=None):
+        self._feat = OrthogonalSignatureFeatures.for_kernel(
+            _unwrap(kern), num_levels=num_levels
+        )

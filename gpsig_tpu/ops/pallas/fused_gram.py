@@ -420,7 +420,7 @@ def _xla_reference_diag(X, num_levels, rbf):
     return sigops.signature_kern(M, num_levels, order=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def fused_gram_levels(X, Y, num_levels, rbf=True, interpret=False, bx=8,
                       mxu=None, pipeline=None):
     """[nl+1, N1, N2] per-level signature kernels, fully fused.
@@ -498,14 +498,21 @@ def _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx=8, mxu=None,
     return jnp.moveaxis(out[:N1, : num_levels + 1, :N2], 1, 0)
 
 
-def _fused_vjp_fwd(X, Y, num_levels, rbf, interpret, bx, mxu):
-    return _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx, mxu), (X, Y)
+def _fused_vjp_fwd(X, Y, num_levels, rbf, interpret, bx, mxu,
+                   pipeline):
+    return (
+        _fused_fwd_impl(X, Y, num_levels, rbf, interpret, bx, mxu,
+                        pipeline=pipeline),
+        (X, Y),
+    )
 
 
 _BWD_ROW_BLOCK = 64
 
 
-def _fused_vjp_bwd(num_levels, rbf, interpret, bx, mxu, res, g):
+def _fused_vjp_bwd(num_levels, rbf, interpret, bx, mxu, pipeline, res,
+                   g):
+    del pipeline  # forward-only scheduling variant; adjoint is unaffected
     """Backward: fully-fused reverse-sweep Pallas kernel on TPU backends;
     row-blocked XLA recompute elsewhere (the [N1, N2, L, L] intermediates
     would need 51 GB HBM at N=800 unblocked)."""

@@ -1336,7 +1336,11 @@ def job_nuts_production():
     dtype = jnp.float32
     d, nl = 2, 4
     N, L = 100, 50
-    C, DEPTH, BLK = 128, 6, 25
+    # BLK=2 as in nuts_scale: each transition of this logp costs ~100 ms
+    # on-chip × 128 chains, so 25 transitions/dispatch is a ~270 s XLA
+    # execution — measured to CRASH the TPU worker through the relay
+    # ("TPU worker process crashed"); 2 transitions ≈ 20 s survives.
+    C, DEPTH, BLK = 128, 6, 2
     GROUPS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     WARM = int(sys.argv[3]) if len(sys.argv) > 3 else 500
     SAMP = int(sys.argv[4]) if len(sys.argv) > 4 else 500

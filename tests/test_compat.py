@@ -356,3 +356,31 @@ def test_compat_predict_uses_cached_posterior():
     opt.minimize(m, maxiter=2)
     _ = m.predict_f(X[:5])
     assert m._post_cache[1] is not post1
+
+
+def test_siggpde_vosf_model_via_compat(data):
+    """The fork's headline model through the reference call surface:
+    UntruncSignatureKernel + OrthogonalFeatures(kern, num_levels=...)
+    (Kuu = I under the untruncated prior) + SVGP(q_diag) + NatGrad/Adam;
+    prediction stays finite through the cached-posterior compat path."""
+    X, y = data
+    kern = gpsig.kernels.UntruncSignatureKernel(
+        input_dim=L * D, num_features=D, dyadic_order=1,
+        normalization=True)
+    feat = gpsig.inducing_variables.OrthogonalFeatures(kern, num_levels=3)
+    assert len(feat) == 1 + D + D**2 + D**3
+    model = gpsig.models.SVGP(
+        X, y, kern, gpsig.likelihoods.MultiClass(C), feat=feat,
+        num_latent=C, q_diag=True,
+    )
+    e0 = model.compute_log_likelihood_full()
+    nat = gpsig.training.NatGradOptimizer(0.1)
+    adam = gpsig.training.AdamOptimizer(5e-3)
+    for _ in range(6):
+        nat.minimize(model, maxiter=1)
+        adam.minimize(model, maxiter=1, freeze_variational=True)
+    e1 = model.compute_log_likelihood_full()
+    assert np.isfinite(e0) and np.isfinite(e1) and e1 > e0
+    m, v = model.predict_y(X[:4])
+    assert m.shape == (4, C) and np.all(np.isfinite(m))
+    assert np.all(np.isfinite(v)) and np.all(v >= 0)

@@ -819,3 +819,30 @@ def test_kernel_layer_dispatches_general_tens_seq(monkeypatch):
     k1 = SignatureRBF(d, nl, engine="pallas", dtype=jnp.float64)
     k1.K_tens_vs_seq(Z, X)
     assert "kind" not in calls
+
+
+def test_fused_gram_pipeline_kwarg_grad_arity():
+    """Advisor r4: `pipeline` is an explicit kwarg on fused_gram_levels.
+    Regression — adding it without extending nondiff_argnums broke every
+    differentiated call (TypeError at trace time on-chip). Both explicit
+    values must trace, match each other bitwise in value, and match the
+    XLA reference in gradient."""
+    from gpsig_tpu.ops.pallas.fused_gram import (
+        _xla_reference,
+        fused_gram_levels,
+    )
+
+    rng = np.random.default_rng(30)
+    X = jnp.asarray(0.3 * rng.standard_normal((4, 9, 2)), jnp.float32)
+    Y = jnp.asarray(0.3 * rng.standard_normal((5, 9, 2)), jnp.float32)
+    outs = {}
+    for pipe in (False, True):
+        outs[pipe] = fused_gram_levels(X, Y, 3, True, True,
+                                       pipeline=pipe)
+        g = jax.grad(lambda x: jnp.sum(fused_gram_levels(
+            x, Y, 3, True, True, pipeline=pipe)))(X)
+        gw = jax.grad(lambda x: jnp.sum(_xla_reference(x, Y, 3, True)))(X)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gw),
+                                   rtol=2e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(outs[False]),
+                                  np.asarray(outs[True]))
