@@ -50,11 +50,13 @@ class InducingTensors(_Wrapper):
 
 
 class InducingSequences(_Wrapper):
-    def __init__(self, Z, num_levels=None):
+    def __init__(self, Z, num_levels=None, joint_psd=False):
         # num_levels accepted for signature parity; the sequence family
-        # reuses the kernel's own truncation level.
+        # reuses the kernel's own truncation level. joint_psd: see
+        # gpsig_tpu.inducing.InducingSequences.covariances_full (the
+        # joint-PSD training guarantee for FD/PDE kernels).
         del num_levels
-        self._feat = core.InducingSequences.create(Z)
+        self._feat = core.InducingSequences.create(Z, joint_psd=joint_psd)
 
 
 class OrthogonalFeatures(_Wrapper):

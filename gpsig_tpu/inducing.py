@@ -92,13 +92,18 @@ class InducingTensors:
 @struct.dataclass
 class InducingSequences:
     raw_Z: jnp.ndarray  # [M, Lz, d] learnable pseudo-sequences
+    #: jointly PSD-project the [Z; X] training covariance block (see
+    #: ``covariances_full``) — the stability treatment for FD-approximate
+    #: (PDE) kernels, where separately-guarded Kuu and raw Kuf are
+    #: mutually inconsistent at the FD-noise scale
+    joint_psd: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
-    def create(cls, Z):
+    def create(cls, Z, joint_psd=False):
         Z = jnp.asarray(Z)
         if Z.ndim != 3:
             raise ValueError(f"Z must be [M, Lz, d]; got {Z.shape}")
-        return cls(raw_Z=Z)
+        return cls(raw_Z=Z, joint_psd=joint_psd)
 
     @property
     def num_inducing(self):
@@ -134,6 +139,61 @@ class InducingSequences:
             Kuu + jitter * jnp.eye(Kuu.shape[-1], dtype=Kuu.dtype),
             Kuf,
         )
+
+    def covariances_full(self, kernel, X, jitter=None):
+        """(Kuu, Kuf, Knn) for one training batch, with an optional JOINT
+        PSD guarantee (``joint_psd=True``).
+
+        Motivation (round-5 root cause, measured on an FD/Goursat kernel):
+        projecting Kuu to PSD *separately* while Kuf keeps raw
+        finite-difference values leaves the two mutually inconsistent at
+        the FD-noise scale — Kuu directions floored near the jitter
+        amplify Kuf noise by 1/√jitter in A = L⁻¹Kuf, which inflated
+        ``diag(AᵀA)`` past ``Knn`` on **98% of points** (min −0.45 at σ=1)
+        and exploded the whitened natural-gradient step (ELBO −1.6e3 →
+        −7.6e4 in one γ=0.05 step). The fix: evaluate the kernel ONCE on
+        the concatenated set [Z; X] (the shorter side is padded by
+        repeating its last observation — zero increments, a kernel
+        invariant), PSD-project the *joint* Gram (straight-through, as in
+        ``kernels/pde.py``), and slice Kuu / Kuf / Knn from it. Any PSD
+        joint Gram yields ``Knn − diag(AᵀA) ≥ 0`` by the Schur-complement
+        identity — measured: 0 negative entries where the separate
+        guards left 98%.
+
+        Cost: one (M+B)² FD solve + one (M+B)³ eigh per batch — intended
+        for minibatch training (the hot path that explodes); prediction
+        continues through the standard ``Kuf``/floored-conditional route.
+        Falls back to ``covariances`` + ``Kdiag`` when ``joint_psd`` is
+        off or the kernel is exact (no ``K_sym_psd`` marker)."""
+        if not (self.joint_psd and hasattr(kernel, "K_sym_psd")):
+            Kuu, Kuf = self.covariances(kernel, X, jitter)
+            return Kuu, Kuf, kernel.Kdiag(X)
+        from gpsig_tpu.kernels.pde import _psd_project
+
+        Z = self.raw_Z
+        Xs = jnp.asarray(X)
+        if Xs.ndim == 2:
+            Xs = Xs.reshape(Xs.shape[0], -1, Z.shape[-1])
+        M, Lz, d = Z.shape
+        N, Lx, _ = Xs.shape
+        L = max(Lz, Lx)
+        if Lz < L:
+            Z = jnp.concatenate(
+                [Z, jnp.repeat(Z[:, -1:], L - Lz, axis=1)], axis=1
+            )
+        if Lx < L:
+            Xs = jnp.concatenate(
+                [Xs, jnp.repeat(Xs[:, -1:], L - Lx, axis=1)], axis=1
+            )
+        J = jnp.concatenate([Z, Xs], axis=0)
+        K = kernel.K(J)
+        if jitter is None:
+            jitter = default_jitter(K.dtype)
+        Kp = _psd_project(K, jnp.asarray(0.0, K.dtype))
+        Kuu = Kp[:M, :M] + jitter * jnp.eye(M, dtype=K.dtype)
+        Kuf = Kp[:M, M:]
+        Knn = jnp.diagonal(Kp)[M:]
+        return Kuu, Kuf, Knn
 
 
 @struct.dataclass

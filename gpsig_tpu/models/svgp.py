@@ -119,13 +119,22 @@ class SVGP:
         num_data: total dataset size N for minibatch scaling (defaults to
         the batch size). key: PRNG key for Monte-Carlo likelihoods.
         """
-        Knn = self.kernel.Kdiag(X)
         if self._kuu_identity:
+            Knn = self.kernel.Kdiag(X)
             Kuf = self.inducing.Kuf(self.kernel, X)
             fmean, fvar = self._identity_conditional(Kuf, Knn)
             kl = gauss.gauss_kl(self.q_mu, self._tril_q_sqrt())
         else:
-            Kuu, Kuf = self._covariances(X)
+            if hasattr(self.inducing, "covariances_full"):
+                # inducing families with a joint (Kuu, Kuf, Knn) batch
+                # covariance — the joint-PSD guarantee for FD kernels
+                # (see InducingSequences.covariances_full)
+                Kuu, Kuf, Knn = self.inducing.covariances_full(
+                    self.kernel, X, None
+                )
+            else:
+                Knn = self.kernel.Kdiag(X)
+                Kuu, Kuf = self._covariances(X)
             L = gauss.stable_cholesky(Kuu)
             fmean, fvar = gauss.conditional(
                 Kuf, Kuu, Knn, self.q_mu, self._tril_q_sqrt(),
