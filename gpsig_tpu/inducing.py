@@ -186,7 +186,16 @@ class InducingSequences:
                 [Xs, jnp.repeat(Xs[:, -1:], L - Lx, axis=1)], axis=1
             )
         J = jnp.concatenate([Z, Xs], axis=0)
-        K = kernel.K(J)
+        # Bound the per-solve pair batch: the vmapped wavefront scan's
+        # working set scales with rows×cols and a full (M+B)² joint solve
+        # exceeded the TPU's 16 MB scoped VMEM at M+B=62, L=65
+        # (compile-time OOM in goursat.py). Row-block to ~2k pairs per
+        # dispatch unless the caller already set a block.
+        kern_solve = kernel
+        if getattr(kernel, "row_block", 0) == 0:
+            nj = J.shape[0]
+            kern_solve = kernel.replace(row_block=max(8, 2048 // nj))
+        K = kern_solve.K(J)
         if jitter is None:
             jitter = default_jitter(K.dtype)
         Kp = _psd_project(K, jnp.asarray(0.0, K.dtype))

@@ -278,10 +278,11 @@ def unskew_grad(skew_grad, Su, Tu):
     return skew_grad[:, I + J, I + 1]
 
 
-# VMEM budget for the fused backward's u-diagonal store (v5e has ~16 MB
-# VMEM/core; leave headroom for carries, IO blocks and the expansion
-# matrix). Shapes that exceed it fall back to the scan adjoint.
-_FUSED_GRAD_VMEM_BUDGET = 12_500_000
+# VMEM budget for the fused backward's bb-scaled working set (u-diagonal
+# store + skewed-gradient out block + carries — fused_grad_vmem_bytes;
+# v5e has ~16 MB VMEM/core, leave headroom for IO blocks and the
+# expansion matrix). Shapes that exceed it fall back to the scan adjoint.
+_FUSED_GRAD_VMEM_BUDGET = 11_000_000
 
 
 def _fused_block_pairs(Su, Tu, dyadic_order):

@@ -423,9 +423,17 @@ def goursat_grad_fused(skewU, Su, Tu, dyadic_order, block_pairs=8,
 
 
 def fused_grad_vmem_bytes(Su, Tu, dyadic_order, block_pairs=8):
-    """VMEM footprint of the gradient kernel's u-diagonal store (the
-    binding constraint; carries/IO blocks add <1 MB)."""
+    """VMEM footprint of the gradient kernel's bb-scaled allocations: the
+    u-diagonal store PLUS the skewed-gradient output block
+    (Du_cols·bb·Sp_u — comparable to the u-store at refined shapes; the
+    round-5 ERing joint solve compile-OOM'd at 16.13M/16M because the
+    estimate omitted it) and the two wavefront carries."""
     f = 1 << dyadic_order
     D = (Su + Tu) * f
     Sp_r = _round_up(Su * f + 1, _LANE)
-    return (D + 1) * max(block_pairs, 8) * Sp_r * 4
+    Sp_u = _round_up(Su + 1, _LANE)
+    bb = max(block_pairs, 8)
+    u_store = (D + 1) * bb * Sp_r * 4
+    out_blk = (Su + Tu - 1) * bb * Sp_u * 4
+    carries = 2 * bb * Sp_r * 4
+    return u_store + out_blk + carries
